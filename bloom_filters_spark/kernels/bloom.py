@@ -1,0 +1,115 @@
+"""Bloom filter as a mergeable aggregator (vectorized numpy kernel).
+
+Semantics parity with the reference's classic Bloom
+(insert: Bloom_project/src/core/BloomFilter.cpp:17-28,
+ exists: :31-39, size: :78-91) and the capacity-sized DynBloom ctor
+(Bloom_project/src/core/DynamicBloomFilter.hpp:53-97) — using the clean
+sizing formulas m* = ⌈−n·lnP/ln²2⌉, k* = max(1, round(ln2·m/n))
+(displayed by the reference at Bloom_project/src/core/Bloom_project.cpp:3717,1093).
+
+Differences from the reference (deliberate, documented in SURVEY.md §7):
+- probe positions come from Kirsch–Mitzenmacher double hashing over one
+  64-bit base hash (computed JVM-side by F.xxhash64) instead of four
+  cryptographic string hashes per element;
+- no per-element instrumentation maps (the reference's elementIndices map
+  makes its "filter" linear in input size, BloomFilter.cpp:27); collision
+  metrics are computed relationally (operators/collisions.py).
+
+Merge = bitwise OR → commutative, associative, idempotent monoid.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .base import pack, register
+from .hashing import km_indices, to_u64
+
+
+def bloom_fpr(k: int, n: int, m: int) -> float:
+    """P = (1 − e^(−kn/m))^k — Bloom_project/src/core/Bloom_project.cpp:3716."""
+    if m <= 0:
+        return 1.0
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+def optimal_m(n: int, p: float) -> int:
+    """m* = ⌈−n·lnP / ln²2⌉ — Bloom_project/src/core/Bloom_project.cpp:1093."""
+    return max(8, int(math.ceil(-n * math.log(p) / (math.log(2) ** 2))))
+
+
+def optimal_k(m: int, n: int) -> int:
+    """k* = round(ln2·m/n) — Bloom_project/src/core/Bloom_project.cpp:3717."""
+    return max(1, int(round(math.log(2) * m / max(1, n))))
+
+
+@register("bloom")
+class BloomSketch:
+    """Fixed-size bit array; update via np.bitwise_or.at on whole batches."""
+
+    __slots__ = ("m", "k", "bits", "n_inserted")
+
+    def __init__(self, m: int, k: int, bits: np.ndarray | None = None,
+                 n_inserted: int = 0):
+        self.m = int(m)
+        self.k = int(k)
+        self.bits = (np.zeros((m + 7) // 8, dtype=np.uint8)
+                     if bits is None else bits)
+        self.n_inserted = int(n_inserted)
+
+    @classmethod
+    def from_capacity(cls, n: int, p: float) -> "BloomSketch":
+        m = optimal_m(n, p)
+        return cls(m, optimal_k(m, n))
+
+    # -- aggregator protocol -------------------------------------------------
+    def update_hashes(self, h1) -> None:
+        h1 = to_u64(np.asarray(h1))
+        if h1.size == 0:
+            return
+        idx = km_indices(h1, self.k, self.m).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3,
+                         np.uint8(1) << (idx & 7).astype(np.uint8))
+        self.n_inserted += int(h1.size)
+
+    def contains_hashes(self, h1) -> np.ndarray:
+        h1 = to_u64(np.asarray(h1))
+        if h1.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = km_indices(h1, self.k, self.m)
+        probed = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return probed.all(axis=1)
+
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        assert (self.m, self.k) == (other.m, other.k), "incompatible sketches"
+        return BloomSketch(self.m, self.k, np.bitwise_or(self.bits, other.bits),
+                           self.n_inserted + other.n_inserted)
+
+    # -- introspection (reference getSizeInBytes/countCollisions analogues) --
+    @property
+    def size_bytes(self) -> int:
+        return int(self.bits.nbytes)
+
+    def bits_set(self) -> int:
+        return int(np.unpackbits(self.bits).sum())
+
+    def fill_ratio(self) -> float:
+        return self.bits_set() / self.m
+
+    def expected_fpr(self) -> float:
+        """Realized FPR estimate from fill ratio: (bits_set/m)^k."""
+        return self.fill_ratio() ** self.k
+
+    def theoretical_fpr(self) -> float:
+        return bloom_fpr(self.k, self.n_inserted, self.m)
+
+    # -- serde ----------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        return pack("bloom", {"m": self.m, "k": self.k, "n": self.n_inserted},
+                    self.bits)
+
+    @classmethod
+    def _from_state(cls, params: dict, bufs) -> "BloomSketch":
+        return cls(params["m"], params["k"], bufs[0], params["n"])

@@ -1,0 +1,74 @@
+"""Counting Bloom filter — supports delete; merge = elementwise add.
+
+Parity target: Bloom_project/src/core/CounterBloom.hpp:34-68
+(insert: counters++; exists: all counters > 0; remove: counters-- with
+floor 0). Batched with np.add.at; counters are int64 partials clipped at
+read so batch-remove of previously-inserted items matches the
+reference's per-cell floor semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import pack, register
+from .hashing import km_indices, to_u64
+
+
+@register("cbf")
+class CountingBloomSketch:
+    __slots__ = ("m", "k", "counters", "n_inserted")
+
+    def __init__(self, m: int, k: int, counters: np.ndarray | None = None,
+                 n_inserted: int = 0):
+        self.m = int(m)
+        self.k = int(k)
+        self.counters = (np.zeros(m, dtype=np.int64)
+                         if counters is None else counters)
+        self.n_inserted = int(n_inserted)
+
+    def _idx(self, h1) -> np.ndarray:
+        return km_indices(to_u64(np.asarray(h1)), self.k, self.m)
+
+    def update_hashes(self, h1) -> None:
+        h1 = np.asarray(h1)
+        if h1.size == 0:
+            return
+        np.add.at(self.counters, self._idx(h1).ravel(), 1)
+        self.n_inserted += int(h1.size)
+
+    def remove_hashes(self, h1) -> None:
+        """Batched decrement. Contract (as in the reference's interactive
+        delete checks, Bloom_project/src/core/Bloom_project.cpp:4146-4154):
+        only remove items previously inserted; then floor-0 never engages
+        and semantics match CounterBloom.hpp:58-68 exactly."""
+        h1 = np.asarray(h1)
+        if h1.size == 0:
+            return
+        np.add.at(self.counters, self._idx(h1).ravel(), -1)
+        np.maximum(self.counters, 0, out=self.counters)
+        self.n_inserted = max(0, self.n_inserted - int(h1.size))
+
+    def contains_hashes(self, h1) -> np.ndarray:
+        h1 = np.asarray(h1)
+        if h1.size == 0:
+            return np.zeros(0, dtype=bool)
+        return (self.counters[self._idx(h1)] > 0).all(axis=1)
+
+    def merge(self, other: "CountingBloomSketch") -> "CountingBloomSketch":
+        assert (self.m, self.k) == (other.m, other.k)
+        return CountingBloomSketch(self.m, self.k,
+                                   self.counters + other.counters,
+                                   self.n_inserted + other.n_inserted)
+
+    @property
+    def size_bytes(self) -> int:
+        return int(self.counters.nbytes)
+
+    def to_bytes(self) -> bytes:
+        return pack("cbf", {"m": self.m, "k": self.k, "n": self.n_inserted},
+                    self.counters)
+
+    @classmethod
+    def _from_state(cls, params, bufs):
+        return cls(params["m"], params["k"], bufs[0], params["n"])

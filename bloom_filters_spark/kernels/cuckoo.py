@@ -1,0 +1,194 @@
+"""Cuckoo filter — fingerprint/partial-key design (Fan et al., CoNEXT'14).
+
+Replaces both reference variants (whole-item tables,
+Bloom_project/src/core/CuckooFilter.hpp:71-242, and the 1000-bucket
+string-table "CuckooFilterN", src/core/CuckooNonProbability.hpp:57-139)
+with the standard space-efficient design while preserving the exposed
+contract the reference checks interactively
+(Bloom_project/src/core/Bloom_project.cpp:4599-4665):
+insert → contains is True (no false negatives); remove → contains is
+False; bounded eviction (reference: 500 attempts, CuckooFilter.hpp:183).
+
+Layout: 2^b buckets × 4 slots of uint16 fingerprints (0 = empty);
+bucket2 = bucket1 XOR hash(fp) — so either bucket derives the other.
+
+NOT a monoid: deletion-capable cuckoo filters don't merge associatively
+(SURVEY.md §7). The distributed path keeps a bank of per-partition
+filters (CuckooBank): probe = OR over members. Bloom/CBF/HLL/CMS stay
+the true monoids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import pack, register, sketch_from_bytes, unpack
+from .hashing import splitmix64, to_u64
+
+_U64 = np.uint64
+_SLOTS = 4
+_MAX_KICKS = 500  # parity: Bloom_project/src/core/CuckooFilter.hpp:183
+
+
+def _fingerprints(h: np.ndarray) -> np.ndarray:
+    """Nonzero uint16 fingerprints from the top hash bits."""
+    fp = (h >> _U64(48)).astype(np.uint16)
+    fp[fp == 0] = 1
+    return fp
+
+
+@register("cuckoo")
+class CuckooFilter:
+    __slots__ = ("nbuckets", "table", "n_items", "_rng_state")
+
+    def __init__(self, capacity: int = 1024, table: np.ndarray | None = None,
+                 n_items: int = 0):
+        if table is not None:
+            self.nbuckets = table.shape[0]
+            self.table = table
+        else:
+            need = max(8, int(capacity / (_SLOTS * 0.95)) + 1)
+            self.nbuckets = 1 << int(np.ceil(np.log2(need)))
+            self.table = np.zeros((self.nbuckets, _SLOTS), dtype=np.uint16)
+        self.n_items = int(n_items)
+        self._rng_state = _U64(0x6A09E667F3BCC908)
+
+    # -- bucket derivation -------------------------------------------------
+    def _b1(self, h: np.ndarray) -> np.ndarray:
+        return (h % _U64(self.nbuckets)).astype(np.int64)
+
+    def _alt(self, b: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mix = splitmix64(fp.astype(_U64))
+        return ((b.astype(_U64) ^ mix) % _U64(self.nbuckets)).astype(np.int64)
+
+    def _next_rand(self) -> int:
+        self._rng_state = splitmix64(np.array([self._rng_state]))[0]
+        return int(self._rng_state)
+
+    # -- single-item ops (eviction is inherently sequential) ----------------
+    def _insert_one(self, b1: int, fp: int) -> bool:
+        b2 = int(self._alt(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
+        for b in (b1, b2):
+            row = self.table[b]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = fp
+                self.n_items += 1
+                return True
+        # evict: random-walk cuckoo kicks, bounded like the reference
+        b = b1 if (self._next_rand() & 1) else b2
+        cur = np.uint16(fp)
+        for _ in range(_MAX_KICKS):
+            slot = self._next_rand() % _SLOTS
+            cur, self.table[b, slot] = self.table[b, slot], cur
+            b = int(self._alt(np.array([b]),
+                              np.array([cur], dtype=np.uint16))[0])
+            row = self.table[b]
+            empty = np.flatnonzero(row == 0)
+            if empty.size:
+                row[empty[0]] = cur
+                self.n_items += 1
+                return True
+        raise RuntimeError("cuckoo filter full (max kicks exceeded)")
+
+    # -- batch API (hash prep vectorized; placement loop per item) ----------
+    def update_hashes(self, h1) -> None:
+        h = to_u64(np.asarray(h1))
+        fps = _fingerprints(h)
+        b1s = self._b1(h)
+        for b1, fp in zip(b1s.tolist(), fps.tolist()):
+            self._insert_one(b1, fp)
+
+    def contains_hashes(self, h1) -> np.ndarray:
+        h = to_u64(np.asarray(h1))
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        fps = _fingerprints(h)
+        b1 = self._b1(h)
+        b2 = self._alt(b1, fps)
+        in1 = (self.table[b1] == fps[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def remove_hashes(self, h1) -> np.ndarray:
+        """Remove one fingerprint copy per item; returns per-item success
+        (parity: CuckooFilter.hpp:157-168 erases from any holding table)."""
+        h = to_u64(np.asarray(h1))
+        fps = _fingerprints(h)
+        b1 = self._b1(h)
+        b2 = self._alt(b1, fps)
+        out = np.zeros(h.size, dtype=bool)
+        for i in range(h.size):
+            for b in (int(b1[i]), int(b2[i])):
+                slots = np.flatnonzero(self.table[b] == fps[i])
+                if slots.size:
+                    self.table[b, slots[0]] = 0
+                    self.n_items -= 1
+                    out[i] = True
+                    break
+        return out
+
+    @property
+    def load_factor(self) -> float:
+        return self.n_items / (self.nbuckets * _SLOTS)
+
+    @property
+    def size_bytes(self) -> int:
+        return int(self.table.nbytes)
+
+    def to_bytes(self) -> bytes:
+        return pack("cuckoo", {"n": self.n_items}, self.table)
+
+    @classmethod
+    def _from_state(cls, params, bufs):
+        return cls(table=bufs[0].reshape(-1, _SLOTS), n_items=params["n"])
+
+
+@register("cuckoo_bank")
+class CuckooBank:
+    """Union of per-partition cuckoo filters for the distributed path.
+
+    merge = list concatenation (associative & commutative up to member
+    order; probes are order-invariant). Deletions are only valid against
+    the member that inserted the key — the bank therefore exposes
+    insert/contains; distributed delete goes through CountingBloomSketch.
+    """
+
+    __slots__ = ("members",)
+
+    def __init__(self, members: list[CuckooFilter] | None = None):
+        self.members = members or []
+
+    @classmethod
+    def wrap(cls, cf: CuckooFilter) -> "CuckooBank":
+        return cls([cf])
+
+    def contains_hashes(self, h1) -> np.ndarray:
+        h1 = np.asarray(h1)
+        out = np.zeros(h1.size, dtype=bool)
+        for m in self.members:
+            out |= m.contains_hashes(h1)
+        return out
+
+    def merge(self, other: "CuckooBank") -> "CuckooBank":
+        return CuckooBank(self.members + other.members)
+
+    @property
+    def size_bytes(self) -> int:
+        return sum(m.size_bytes for m in self.members)
+
+    def to_bytes(self) -> bytes:
+        blobs = [m.to_bytes() for m in self.members]
+        lens = np.array([len(b) for b in blobs], dtype=np.int64)
+        flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+        return pack("cuckoo_bank", {"count": len(blobs)}, lens, flat)
+
+    @classmethod
+    def _from_state(cls, params, bufs):
+        lens, flat = bufs
+        raw = flat.tobytes()
+        members, off = [], 0
+        for ln in lens.astype(int):
+            members.append(sketch_from_bytes(raw[off:off + ln]))
+            off += ln
+        return cls(members)

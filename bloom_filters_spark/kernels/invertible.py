@@ -1,0 +1,132 @@
+"""Invertible Bloom filter (IBF / IBLT) — listable set sketch.
+
+The reference's "InvertibleBloomFilter" is a counting filter that stores
+the FIRST element to touch each cell in a side map
+(Bloom_project/src/core/InvertibleBloomFilter.hpp:86-101 insert,
+:179-213 getValue/getAllValues) — a simplification that is neither
+mergeable nor reliably invertible. We implement the published IBLT
+(Eppstein, Goodrich, Uyeda, Varghese, SIGCOMM'11): per cell
+(count, keyXor, checkXor); peeling recovers cells, and merge /
+subtract are cellwise ops → associative. The reference's getValue /
+getAllValues surface is recovered relationally: peel the key hashes,
+then join back to the source DataFrame to materialize the values
+(operators/agg.py ibf_recover) — the Spark-first replacement for its
+in-memory valueMap.
+
+Contract parity kept: insert → exists True; remove → exists False
+(Bloom_project/src/core/Bloom_project.cpp:4299-4306);
+count==1-cell listing ≈ getAllValues (:4313-4323).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import pack, register
+from .hashing import km_indices, splitmix64, to_u64
+
+_U64 = np.uint64
+_CHECK_SEED = _U64(0xA5A5A5A55A5A5A5A)
+
+
+def _check(h: np.ndarray) -> np.ndarray:
+    return splitmix64(h ^ _CHECK_SEED)
+
+
+@register("ibf")
+class InvertibleBloomSketch:
+    __slots__ = ("m", "k", "count", "key_xor", "chk_xor", "n_inserted")
+
+    def __init__(self, m: int, k: int = 3, count=None, key_xor=None,
+                 chk_xor=None, n_inserted: int = 0):
+        self.m = int(m)
+        self.k = int(k)
+        self.count = np.zeros(m, dtype=np.int64) if count is None else count
+        self.key_xor = np.zeros(m, dtype=_U64) if key_xor is None else key_xor
+        self.chk_xor = np.zeros(m, dtype=_U64) if chk_xor is None else chk_xor
+        self.n_inserted = int(n_inserted)
+
+    def _apply(self, h1, sign: int) -> None:
+        h = to_u64(np.asarray(h1))
+        if h.size == 0:
+            return
+        idx = km_indices(h, self.k, self.m)          # (n, k)
+        chk = _check(h)
+        flat = idx.ravel()
+        np.add.at(self.count, flat, sign)
+        # xor is its own inverse → same op for insert and remove
+        np.bitwise_xor.at(self.key_xor, flat, np.repeat(h, self.k))
+        np.bitwise_xor.at(self.chk_xor, flat, np.repeat(chk, self.k))
+        self.n_inserted += sign * int(h.size)
+
+    def update_hashes(self, h1) -> None:
+        self._apply(h1, 1)
+
+    def remove_hashes(self, h1) -> None:
+        self._apply(h1, -1)
+
+    def contains_hashes(self, h1) -> np.ndarray:
+        """Probe: all k cells nonzero (reference exists semantics,
+        InvertibleBloomFilter.hpp:115-123). Same FP behavior as CBF."""
+        h = to_u64(np.asarray(h1))
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        idx = km_indices(h, self.k, self.m)
+        return (self.count[idx] != 0).all(axis=1)
+
+    def merge(self, other: "InvertibleBloomSketch") -> "InvertibleBloomSketch":
+        assert (self.m, self.k) == (other.m, other.k)
+        return InvertibleBloomSketch(
+            self.m, self.k, self.count + other.count,
+            self.key_xor ^ other.key_xor, self.chk_xor ^ other.chk_xor,
+            self.n_inserted + other.n_inserted)
+
+    def subtract(self, other: "InvertibleBloomSketch") -> "InvertibleBloomSketch":
+        """Set-difference sketch: peel(self − other) lists keys unique to
+        each side (counts +1 / −1)."""
+        assert (self.m, self.k) == (other.m, other.k)
+        return InvertibleBloomSketch(
+            self.m, self.k, self.count - other.count,
+            self.key_xor ^ other.key_xor, self.chk_xor ^ other.chk_xor,
+            self.n_inserted - other.n_inserted)
+
+    def peel(self, max_iters: int = 10_000):
+        """Recover (key_hash, sign) pairs; the distributed getAllValues.
+        Returns (recovered_uint64s, signs, fully_decoded)."""
+        count = self.count.copy()
+        key_xor = self.key_xor.copy()
+        chk_xor = self.chk_xor.copy()
+        out_keys: list[int] = []
+        out_signs: list[int] = []
+        for _ in range(max_iters):
+            pure = np.flatnonzero(
+                ((count == 1) | (count == -1))
+                & (_check(key_xor) == chk_xor))
+            if pure.size == 0:
+                break
+            cell = int(pure[0])
+            key = key_xor[cell].reshape(1).astype(_U64)
+            sign = int(count[cell])
+            out_keys.append(int(key[0]))
+            out_signs.append(sign)
+            idx = km_indices(key, self.k, self.m).ravel()
+            np.add.at(count, idx, -sign)
+            np.bitwise_xor.at(key_xor, idx, np.repeat(key, self.k))
+            np.bitwise_xor.at(chk_xor, idx, np.repeat(_check(key), self.k))
+        decoded = bool((count == 0).all())
+        return (np.array(out_keys, dtype=_U64),
+                np.array(out_signs, dtype=np.int64), decoded)
+
+    @property
+    def size_bytes(self) -> int:
+        return int(self.count.nbytes + self.key_xor.nbytes
+                   + self.chk_xor.nbytes)
+
+    def to_bytes(self) -> bytes:
+        return pack("ibf", {"m": self.m, "k": self.k, "n": self.n_inserted},
+                    self.count, self.key_xor, self.chk_xor)
+
+    @classmethod
+    def _from_state(cls, params, bufs):
+        return cls(params["m"], params["k"], bufs[0], bufs[1], bufs[2],
+                   params["n"])

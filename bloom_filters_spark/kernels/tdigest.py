@@ -1,0 +1,134 @@
+"""t-digest (merging variant) — quantiles with strong tail accuracy.
+
+No reference counterpart (required by north_rule; from Dunning &
+Ertl, "Computing extremely accurate quantiles using t-digests").
+K1 scale function k(q) = δ/(2π)·asin(2q−1); merge = concatenate
+centroids + re-compress. Deterministic given input order; estimates
+(not bytes) are stable under merge reordering within tested tolerance.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .base import pack, register
+
+
+@register("tdigest")
+class TDigest:
+    __slots__ = ("delta", "means", "weights", "total", "vmin", "vmax", "_buf")
+
+    def __init__(self, delta: float = 100.0, means=None, weights=None,
+                 total: float = 0.0, vmin: float = math.inf,
+                 vmax: float = -math.inf):
+        self.delta = float(delta)
+        self.means = (np.empty(0, dtype=np.float64) if means is None
+                      else np.asarray(means, dtype=np.float64))
+        self.weights = (np.empty(0, dtype=np.float64) if weights is None
+                        else np.asarray(weights, dtype=np.float64))
+        self.total = float(total)
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+        self._buf: list[np.ndarray] = []
+
+    # -- scale function (K1) ----------------------------------------------
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        q = np.clip(q, 0.0, 1.0)
+        return self.delta / (2.0 * math.pi) * np.arcsin(2.0 * q - 1.0)
+
+    def update_values(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self._buf.append(v)
+        if sum(b.size for b in self._buf) >= 10_000:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        v = np.concatenate(self._buf)
+        self._buf = []
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        self._compress(np.concatenate([self.means, v]),
+                       np.concatenate([self.weights,
+                                       np.ones(v.size, dtype=np.float64)]))
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+        for i in range(1, means.size):
+            q0 = w_so_far / total
+            q1 = (w_so_far + cur_w + weights[i]) / total
+            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
+                cur_m += (means[i] - cur_m) * weights[i] / (cur_w + weights[i])
+                cur_w += weights[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                cur_m, cur_w = means[i], weights[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m, dtype=np.float64)
+        self.weights = np.array(out_w, dtype=np.float64)
+        self.total = float(total)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta
+        self._flush()
+        other._flush()
+        out = TDigest(self.delta, vmin=min(self.vmin, other.vmin),
+                      vmax=max(self.vmax, other.vmax))
+        if self.means.size + other.means.size:
+            out._compress(np.concatenate([self.means, other.means]),
+                          np.concatenate([self.weights, other.weights]))
+        return out
+
+    def quantile(self, q: float) -> float:
+        self._flush()
+        if self.means.size == 0:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        target = q * self.total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return self.vmin if q <= 0 else float(
+                self.vmin + (self.means[0] - self.vmin)
+                * max(0.0, target / cum[0]))
+        if target >= cum[-1]:
+            rem = self.total - cum[-1]
+            return self.vmax if rem <= 0 else float(
+                self.means[-1] + (self.vmax - self.means[-1])
+                * min(1.0, (target - cum[-1]) / rem))
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    @property
+    def size_bytes(self) -> int:
+        return int(self.means.nbytes + self.weights.nbytes)
+
+    def to_bytes(self) -> bytes:
+        self._flush()
+        return pack("tdigest",
+                    {"delta": self.delta, "total": self.total,
+                     "vmin": self.vmin if math.isfinite(self.vmin) else None,
+                     "vmax": self.vmax if math.isfinite(self.vmax) else None},
+                    self.means, self.weights)
+
+    @classmethod
+    def _from_state(cls, params, bufs):
+        vmin = params["vmin"] if params["vmin"] is not None else math.inf
+        vmax = params["vmax"] if params["vmax"] is not None else -math.inf
+        return cls(params["delta"], bufs[0], bufs[1], params["total"],
+                   vmin, vmax)

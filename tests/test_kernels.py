@@ -1,0 +1,365 @@
+"""Unit tests for numpy sketch kernels — no Spark session needed.
+
+Mirrors the reference's interactive correctness checks (SURVEY.md §5):
+no false negatives, FPR ≤ p, delete semantics, HLL error bound,
+merge algebra, serde round-trips.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from bloom_filters_spark.kernels import (
+    BloomSketch, CountingBloomSketch, CountMinSketch, CuckooBank,
+    CuckooFilter, HLLSketch, InvertibleBloomSketch, KLLSketch, TDigest,
+    bloom_fpr, hash64_bytes, optimal_k, optimal_m, sketch_from_bytes,
+)
+from bloom_filters_spark.kernels.hashing import bit_length_u64
+
+RNG = np.random.default_rng(42)
+
+
+def rand_hashes(n, seed=0):
+    # full-range signed int64, like Spark's F.xxhash64 output
+    return np.random.default_rng(seed).integers(
+        -2**63, 2**63 - 1, size=n, dtype=np.int64)
+
+
+# --------------------------------------------------------------- hashing
+def test_bit_length_u64_exact():
+    xs = np.array([0, 1, 2, 3, 4, (1 << 52) - 1, 1 << 52, (1 << 63),
+                   (1 << 64) - 1], dtype=np.uint64)
+    expect = [0, 1, 2, 2, 3, 52, 53, 64, 64]
+    assert bit_length_u64(xs).tolist() == expect
+
+
+def test_hash64_bytes_stable_and_seeded():
+    a = hash64_bytes(["foo", "bar"], seed=1)
+    b = hash64_bytes(["foo", "bar"], seed=1)
+    c = hash64_bytes(["foo", "bar"], seed=2)
+    assert (a == b).all() and (a != c).any()
+
+
+# ----------------------------------------------------------------- bloom
+def test_bloom_sizing_formulas():
+    # reference displays m*≈14378 for n=1000, P=0.001
+    # (Bloom_project/src/core/Bloom_project.cpp:1093)
+    assert optimal_m(1000, 0.001) in (14378, 14379)
+    m = optimal_m(1000, 0.01)
+    assert optimal_k(m, 1000) == 7
+    # (1 − e^(−0.3))^3 ≈ 0.01741 for k=3, n=1000, m=10000
+    assert abs(bloom_fpr(3, 1000, 10000) - 0.01741) < 2e-4
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    n, p = 5000, 0.01
+    bf = BloomSketch.from_capacity(n, p)
+    present = rand_hashes(n, seed=1)
+    bf.update_hashes(present)
+    assert bf.contains_hashes(present).all()          # no false negatives
+    absent = rand_hashes(20 * n, seed=2)
+    fpr = bf.contains_hashes(absent).mean()
+    assert fpr <= 2.0 * p                              # binomial tolerance
+
+
+def test_bloom_merge_monoid():
+    bf = lambda: BloomSketch(1 << 14, 5)
+    hs = [rand_hashes(1000, seed=s) for s in range(3)]
+    parts = []
+    for h in hs:
+        b = bf()
+        b.update_hashes(h)
+        parts.append(b)
+    left = parts[0].merge(parts[1]).merge(parts[2])
+    right = parts[0].merge(parts[1].merge(parts[2]))
+    swapped = parts[2].merge(parts[0]).merge(parts[1])
+    assert (left.bits == right.bits).all()
+    assert (left.bits == swapped.bits).all()
+    idem = left.merge(left)
+    assert (idem.bits == left.bits).all()              # idempotent
+    single = bf()
+    single.update_hashes(np.concatenate(hs))
+    assert (single.bits == left.bits).all()            # partials == one pass
+
+
+def test_bloom_serde_roundtrip():
+    b = BloomSketch(4096, 4)
+    b.update_hashes(rand_hashes(100))
+    b2 = sketch_from_bytes(b.to_bytes())
+    assert (b2.bits == b.bits).all() and b2.k == b.k and b2.n_inserted == 100
+
+
+# -------------------------------------------------------------- counting
+def test_counting_bloom_insert_remove():
+    cbf = CountingBloomSketch(1 << 13, 4)
+    keep = rand_hashes(500, seed=3)
+    drop = rand_hashes(500, seed=4)
+    cbf.update_hashes(keep)
+    cbf.update_hashes(drop)
+    assert cbf.contains_hashes(keep).all()
+    assert cbf.contains_hashes(drop).all()
+    cbf.remove_hashes(drop)
+    assert cbf.contains_hashes(keep).all()             # survivors intact
+    assert cbf.contains_hashes(drop).mean() < 0.05     # removed → absent (FP ok)
+
+
+def test_counting_bloom_merge_is_add():
+    a, b = CountingBloomSketch(1024, 3), CountingBloomSketch(1024, 3)
+    a.update_hashes(rand_hashes(50, seed=5))
+    b.update_hashes(rand_hashes(50, seed=6))
+    m1, m2 = a.merge(b), b.merge(a)
+    assert (m1.counters == m2.counters).all()
+    assert m1.counters.sum() == a.counters.sum() + b.counters.sum()
+
+
+# ------------------------------------------------------------------- hll
+@pytest.mark.parametrize("p,n", [(12, 10_000), (13, 50_000), (12, 100)])
+def test_hll_error_bound(p, n):
+    hll = HLLSketch(p)
+    hll.update_hashes(rand_hashes(n, seed=7))
+    est = hll.estimate()
+    tol = 4 * hll.relative_error                       # 4σ
+    assert abs(est - n) / n <= max(tol, 0.02), (est, n)
+
+
+def test_hll_merge_max_and_order_invariance():
+    hs = [rand_hashes(5000, seed=s) for s in range(4)]
+    parts = []
+    for h in hs:
+        s = HLLSketch(12)
+        s.update_hashes(h)
+        parts.append(s)
+    a = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
+    b = parts[3].merge(parts[2].merge(parts[1].merge(parts[0])))
+    assert (a.registers == b.registers).all()
+    one = HLLSketch(12)
+    one.update_hashes(np.concatenate(hs))
+    assert (one.registers == a.registers).all()
+    assert a.estimate() == b.estimate()
+
+
+def test_hll_duplicates_dont_inflate():
+    h = rand_hashes(1000, seed=8)
+    hll = HLLSketch(12)
+    hll.update_hashes(np.tile(h, 50))
+    assert abs(hll.estimate() - 1000) / 1000 < 0.1
+
+
+def test_hll_serde():
+    s = HLLSketch(10)
+    s.update_hashes(rand_hashes(100))
+    s2 = sketch_from_bytes(s.to_bytes())
+    assert (s2.registers == s.registers).all() and s2.p == 10
+
+
+# ------------------------------------------------------------------- cms
+def test_cms_overestimates_within_eps():
+    cms = CountMinSketch.from_error(eps=0.005, delta=0.01)
+    keys = rand_hashes(200, seed=9)
+    freqs = np.arange(1, 201)
+    stream = np.repeat(keys, freqs)
+    cms.update_hashes(stream)
+    est = cms.estimate_hashes(keys)
+    assert (est >= freqs).all()                        # never underestimates
+    assert (est <= freqs + cms.eps * cms.total * 3).all()
+
+
+def test_cms_merge_is_add_and_weighted_update():
+    a = CountMinSketch(4, 1024)
+    b = CountMinSketch(4, 1024)
+    keys = rand_hashes(10, seed=10)
+    a.update_hashes(keys, weights=np.full(10, 5))
+    b.update_hashes(keys, weights=np.full(10, 7))
+    m = a.merge(b)
+    assert (m.estimate_hashes(keys) >= 12).all()
+    assert m.total == 120
+
+
+# ------------------------------------------------------------------- kll
+def test_kll_rank_error():
+    vals = RNG.normal(0, 100, size=100_000)
+    k = KLLSketch(k=200)
+    for chunk in np.array_split(vals, 20):
+        k.update_values(chunk)
+    svals = np.sort(vals)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = k.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= 0.03, (q, true_rank)
+
+
+def test_kll_merge_bound_holds():
+    vals = RNG.uniform(0, 1, size=50_000)
+    parts = []
+    for chunk in np.array_split(vals, 8):
+        s = KLLSketch(k=200)
+        s.update_values(chunk)
+        parts.append(s)
+    merged = parts[0]
+    for s in parts[1:]:
+        merged = merged.merge(s)
+    assert merged.n == 50_000
+    svals = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= 0.04
+
+
+def test_kll_serde():
+    s = KLLSketch(k=128)
+    s.update_values(RNG.uniform(size=10_000))
+    s2 = sketch_from_bytes(s.to_bytes())
+    assert s2.n == s.n
+    assert s2.quantile(0.5) == s.quantile(0.5)
+
+
+# --------------------------------------------------------------- tdigest
+def test_tdigest_quantiles():
+    vals = RNG.exponential(10, size=100_000)
+    td = TDigest(delta=200)
+    for chunk in np.array_split(vals, 10):
+        td.update_values(chunk)
+    svals = np.sort(vals)
+    for q in (0.01, 0.5, 0.99, 0.999):
+        est = td.quantile(q)
+        true_rank = np.searchsorted(svals, est) / svals.size
+        assert abs(true_rank - q) <= 0.01, (q, true_rank)
+
+
+def test_tdigest_merge():
+    vals = RNG.normal(size=40_000)
+    parts = []
+    for chunk in np.array_split(vals, 4):
+        t = TDigest(delta=100)
+        t.update_values(chunk)
+        parts.append(t)
+    m = parts[0].merge(parts[1]).merge(parts[2].merge(parts[3]))
+    svals = np.sort(vals)
+    for q in (0.25, 0.5, 0.75):
+        true_rank = np.searchsorted(svals, m.quantile(q)) / svals.size
+        assert abs(true_rank - q) <= 0.02
+    m2 = sketch_from_bytes(m.to_bytes())
+    assert m2.quantile(0.5) == m.quantile(0.5)
+
+
+# ---------------------------------------------------------------- cuckoo
+def test_cuckoo_contract():
+    # insert → contains; remove → ¬contains
+    # (parity: Bloom_project/src/core/Bloom_project.cpp:4599-4665)
+    cf = CuckooFilter(capacity=5000)
+    present = rand_hashes(4000, seed=11)
+    cf.update_hashes(present)
+    assert cf.contains_hashes(present).all()           # no false negatives
+    absent = rand_hashes(50_000, seed=12)
+    assert cf.contains_hashes(absent).mean() < 0.01    # fp rate ~ 2b/2^16
+    removed = cf.remove_hashes(present[:1000])
+    assert removed.all()
+    assert cf.contains_hashes(present[1000:]).all()
+    assert cf.contains_hashes(present[:1000]).mean() < 0.01
+
+
+def test_cuckoo_bank_merge_probe():
+    h1, h2 = rand_hashes(1000, seed=13), rand_hashes(1000, seed=14)
+    a, b = CuckooFilter(2000), CuckooFilter(2000)
+    a.update_hashes(h1)
+    b.update_hashes(h2)
+    bank = CuckooBank.wrap(a).merge(CuckooBank.wrap(b))
+    assert bank.contains_hashes(np.concatenate([h1, h2])).all()
+    bank2 = sketch_from_bytes(bank.to_bytes())
+    assert bank2.contains_hashes(h1).all()
+    # probe is member-order invariant
+    rev = CuckooBank.wrap(b).merge(CuckooBank.wrap(a))
+    probes = rand_hashes(5000, seed=15)
+    assert (bank.contains_hashes(probes) == rev.contains_hashes(probes)).all()
+
+
+def test_cuckoo_serde():
+    cf = CuckooFilter(1000)
+    h = rand_hashes(500, seed=16)
+    cf.update_hashes(h)
+    cf2 = sketch_from_bytes(cf.to_bytes())
+    assert cf2.contains_hashes(h).all()
+
+
+# ------------------------------------------------------------------- ibf
+def test_ibf_insert_remove_contains():
+    ibf = InvertibleBloomSketch(4096, 3)
+    keep = rand_hashes(300, seed=17)
+    drop = rand_hashes(300, seed=18)
+    ibf.update_hashes(keep)
+    ibf.update_hashes(drop)
+    assert ibf.contains_hashes(keep).all()
+    ibf.remove_hashes(drop)
+    assert ibf.contains_hashes(keep).all()
+    assert ibf.contains_hashes(drop).mean() < 0.05
+
+
+def test_ibf_peel_recovers_all():
+    # getAllValues analogue: full listing when cells ≥ ~1.3× items
+    keys = rand_hashes(500, seed=19)
+    ibf = InvertibleBloomSketch(1000, 3)
+    ibf.update_hashes(keys)
+    rec, signs, decoded = ibf.peel()
+    assert decoded
+    assert set(rec.tolist()) == set(keys.view(np.uint64).tolist())
+    assert (signs == 1).all()
+
+
+def test_ibf_set_difference():
+    common = rand_hashes(400, seed=20)
+    only_a = rand_hashes(30, seed=21)
+    only_b = rand_hashes(30, seed=22)
+    a = InvertibleBloomSketch(512, 3)
+    b = InvertibleBloomSketch(512, 3)
+    a.update_hashes(np.concatenate([common, only_a]))
+    b.update_hashes(np.concatenate([common, only_b]))
+    diff = a.subtract(b)
+    rec, signs, decoded = diff.peel()
+    assert decoded
+    got_a = {int(k) for k, s in zip(rec, signs) if s == 1}
+    got_b = {int(k) for k, s in zip(rec, signs) if s == -1}
+    assert got_a == set(only_a.view(np.uint64).tolist())
+    assert got_b == set(only_b.view(np.uint64).tolist())
+
+
+def test_ibf_merge_associative():
+    hs = [rand_hashes(100, seed=s) for s in (23, 24, 25)]
+    parts = []
+    for h in hs:
+        s = InvertibleBloomSketch(2048, 3)
+        s.update_hashes(h)
+        parts.append(s)
+    l = parts[0].merge(parts[1]).merge(parts[2])
+    r = parts[0].merge(parts[1].merge(parts[2]))
+    assert (l.count == r.count).all()
+    assert (l.key_xor == r.key_xor).all()
+
+
+# --------------------------------------------------- cross-sketch algebra
+def test_merge_order_invariance_property():
+    """north_rule associativity: random splits & merge orders →
+    byte-identical sketches for the monoid family."""
+    rng = np.random.default_rng(0)
+    data = rand_hashes(20_000, seed=26)
+    for make in (lambda: BloomSketch(1 << 15, 6),
+                 lambda: CountingBloomSketch(1 << 13, 4),
+                 lambda: HLLSketch(11),
+                 lambda: CountMinSketch(4, 2048),
+                 lambda: InvertibleBloomSketch(1 << 14, 3)):
+        cuts = np.sort(rng.choice(np.arange(1, data.size), 7, replace=False))
+        chunks = np.split(data, cuts)
+        parts = []
+        for c in chunks:
+            s = make()
+            s.update_hashes(c)
+            parts.append(s)
+        order = rng.permutation(len(parts))
+        m1 = parts[0]
+        for p in parts[1:]:
+            m1 = m1.merge(p)
+        m2 = parts[order[0]]
+        for i in order[1:]:
+            m2 = m2.merge(parts[i])
+        assert m1.to_bytes() == m2.to_bytes(), type(m1).__name__
