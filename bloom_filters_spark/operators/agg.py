@@ -1,0 +1,295 @@
+"""Spark aggregation layer: per-partition partial sketches → tree merge.
+
+This is the distributed reshaping of the reference's mutex-guarded
+shared-filter ingest (Bloom_project/src/core/Bloom_project.cpp:3910-3933,
+:71-84 — 5 threads serialized on one lock): each partition builds its own
+partial sketch inside ``mapInPandas`` (Arrow batches, numpy kernels —
+never per-row Python), partials are tree-merged, and the final sketch is
+a single small object. Data is **never shuffled** — only KB-sized
+partials move, so host-level skew in the data cannot pin a reducer.
+
+Two paths:
+- map-side combine (default): per-partition dict of per-group sketches →
+  shuffle only partials → ``applyInPandas`` merge per group. The salt
+  column on the merge stage caps any one reducer's fan-in (two-level
+  tree merge per north_rule).
+- probe: broadcast the serialized sketch once, probe with a vectorized
+  pandas UDF over a JVM-computed xxhash64 column.
+
+Scale notes (the 100 TB design point):
+- partials per global sketch = #partitions (100k tasks × ~16 KB HLL
+  = 1.6 GB of partials) → the fan-in-bounded tree merge keeps every
+  merge task at ``fanin`` inputs regardless of partition count;
+- the base hash is computed JVM-side (whole-stage codegen) so the
+  Python boundary carries one int64 column, not strings;
+- column pruning: we ``select`` only the hashed/value column before the
+  UDF, so the parquet scan reads just the sketched columns.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels import sketch_from_bytes
+from ..kernels.base import pack  # noqa: F401  (re-export for checkpoint)
+
+_PARTIAL_SCHEMA = "payload binary, n_rows long"
+
+# xxhash64 default seed constant kept explicit: different logical hash
+# families are derived by hashing the tuple (col, lit(seed)).
+def hash_col(col, seed: int = 0):
+    """JVM-side 64-bit hash column (whole-stage codegen'd)."""
+    return F.xxhash64(col, F.lit(seed))
+
+
+def salted_repartition(df: DataFrame, key, num_partitions: int,
+                       salts: int = 8, seed: int = 7,
+                       salt_from=None) -> DataFrame:
+    """Explicit skew-defeating repartition: partition by (key, salt) so a
+    single hot key (e.g. one huge host) spreads over ``salts`` partitions.
+    north_rule: 'explicit salted-key repartitioning'.
+
+    The salt must vary WITHIN a key, so it is derived from a row-unique
+    column when one is given (deterministic), else from F.rand(seed)
+    (deterministic per plan, not content-addressed)."""
+    if salt_from is not None:
+        salt = F.pmod(F.xxhash64(salt_from, F.lit(seed)), F.lit(salts))
+    else:
+        salt = (F.rand(seed) * salts).cast("int")
+    return df.repartition(num_partitions, key, salt)
+
+
+# --------------------------------------------------------------------------
+# global (ungrouped) sketch build
+# --------------------------------------------------------------------------
+
+def _partial_builder(factory: Callable, value_based: bool):
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = factory()
+        n = 0
+        for pdf in batches:
+            col = pdf["__v"]
+            if value_based:
+                vals = col.to_numpy(dtype=np.float64, na_value=np.nan)
+                sk.update_values(vals)
+            else:
+                vals = col.to_numpy(dtype=np.int64, na_value=0)
+                sk.update_hashes(vals)
+            n += len(pdf)
+        yield pd.DataFrame({"payload": [sk.to_bytes()], "n_rows": [n]})
+    return build
+
+
+def _merge_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    sk, n = None, 0
+    for pdf in batches:
+        for payload, rows in zip(pdf["payload"], pdf["n_rows"]):
+            part = sketch_from_bytes(bytes(payload))
+            sk = part if sk is None else sk.merge(part)
+            n += int(rows)
+    if sk is not None:
+        yield pd.DataFrame({"payload": [sk.to_bytes()], "n_rows": [n]})
+
+
+def build_sketch(df: DataFrame, col: str, factory: Callable, *,
+                 seed: int = 0, value_based: bool = False,
+                 fanin: int = 64, dropna: bool = True):
+    """Build one sketch over ``df[col]`` → (sketch_object, n_rows).
+
+    Plan: pruned scan → [JVM xxhash64] → mapInPandas partials (one row
+    per partition) → repartition/merge rounds of fan-in ``fanin`` →
+    driver merge of ≤ fanin survivors. One tiny shuffle per tree level;
+    the input data itself never shuffles.
+    """
+    src = df.select(F.col(col).alias("__c"))
+    if dropna:
+        src = src.where(F.col("__c").isNotNull())
+    if value_based:
+        sel = src.select(F.col("__c").cast("double").alias("__v"))
+    else:
+        sel = src.select(hash_col(F.col("__c"), seed).alias("__v"))
+
+    partials = sel.mapInPandas(_partial_builder(factory, value_based),
+                               schema=_PARTIAL_SCHEMA)
+    n_parts = sel.rdd.getNumPartitions()
+    while n_parts > fanin:
+        n_parts = math.ceil(n_parts / fanin)
+        partials = partials.repartition(n_parts).mapInPandas(
+            _merge_batch, schema=_PARTIAL_SCHEMA)
+
+    rows = partials.collect()
+    if not rows:
+        return factory(), 0
+    sk, n = None, 0
+    for r in rows:
+        part = sketch_from_bytes(bytes(r["payload"]))
+        sk = part if sk is None else sk.merge(part)
+        n += int(r["n_rows"])
+    return sk, n
+
+
+# --------------------------------------------------------------------------
+# grouped sketch build (one sketch per group, e.g. per host / per lang)
+# --------------------------------------------------------------------------
+
+def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
+                           group_cols: list[str], *, seed: int = 0,
+                           value_based: bool = False,
+                           merge_salts: int = 0) -> DataFrame:
+    """→ DataFrame(group_cols..., payload binary, n_rows long).
+
+    Map-side combine: each partition keeps a dict group→sketch, so the
+    raw rows never shuffle — only (group, partial) rows do. With G groups
+    and P partitions the shuffle is ≤ G·P sketch rows. ``merge_salts``
+    > 1 inserts a salted intermediate merge level (two-level tree) for
+    very large P — the north_rule skew guard for grouped merges.
+    """
+    gcols = list(group_cols)
+    sel = df.where(F.col(col).isNotNull()).select(
+        *[F.col(g) for g in gcols],
+        (F.col(col).cast("double") if value_based
+         else hash_col(F.col(col), seed)).alias("__v"))
+
+    out_schema = ", ".join(
+        f"`{g}` {dict(sel.dtypes)[g]}" for g in gcols
+    ) + ", payload binary, n_rows long"
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            if value_based:
+                vals = pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
+            else:
+                vals = pdf["__v"].to_numpy(dtype=np.int64, na_value=0)
+            gdf = pd.DataFrame({"__g": list(zip(*[pdf[g] for g in gcols]))})
+            for key, idx in gdf.groupby("__g").indices.items():
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = factory()
+                    counts[key] = 0
+                batch = vals[idx]
+                if value_based:
+                    sk.update_values(batch)
+                else:
+                    sk.update_hashes(batch)
+                counts[key] += len(idx)
+        if sketches:
+            keys = list(sketches)
+            data = {g: [k[i] for k in keys] for i, g in enumerate(gcols)}
+            data["payload"] = [sketches[k].to_bytes() for k in keys]
+            data["n_rows"] = [counts[k] for k in keys]
+            yield pd.DataFrame(data)
+
+    partials = sel.mapInPandas(build, schema=out_schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk, n = None, 0
+        for payload, rows in zip(pdf["payload"], pdf["n_rows"]):
+            part = sketch_from_bytes(bytes(payload))
+            sk = part if sk is None else sk.merge(part)
+            n += int(rows)
+        out = {g: [pdf[g].iloc[0]] for g in gcols}
+        out["payload"] = [sk.to_bytes()]
+        out["n_rows"] = [n]
+        return pd.DataFrame(out)
+
+    if merge_salts > 1:
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            return merge_group(pdf.drop(columns=["__salt"]))
+        salted = partials.withColumn(
+            "__salt", F.pmod(F.xxhash64(F.col("payload")), F.lit(merge_salts)))
+        level1 = salted.groupBy(*gcols, "__salt").applyInPandas(
+            merge_salted, schema=out_schema)
+        partials = level1
+
+    return partials.groupBy(*gcols).applyInPandas(merge_group,
+                                                  schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# probes / lookups against a finished sketch
+# --------------------------------------------------------------------------
+
+_BCAST_CACHE: dict = {}
+
+
+def _cached_sketch(payload: bytes):
+    # keyed by the bytes object itself: broadcast.value returns the same
+    # object per worker, so the hash is computed once and the key is exact
+    sk = _BCAST_CACHE.get(payload)
+    if sk is None:
+        sk = _BCAST_CACHE[payload] = sketch_from_bytes(payload)
+    return sk
+
+
+def probe_membership(df: DataFrame, col: str, sketch, *, seed: int = 0,
+                     out_col: str = "seen") -> DataFrame:
+    """Broadcast the sketch; add a boolean membership column.
+
+    The reference's ``exists`` probe (Bloom_project/src/core/
+    BloomFilter.cpp:31-39) as a vectorized column op: JVM xxhash64 →
+    Arrow batch → numpy probe of the broadcast bit array.
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc.value)
+        res = sk.contains_hashes(h.to_numpy(dtype=np.int64, na_value=0))
+        return pd.Series(res)
+
+    return df.withColumn(out_col, probe(hash_col(F.col(col), seed)))
+
+
+def cms_lookup(df: DataFrame, col: str, cms, *, seed: int = 0,
+               out_col: str = "est_count") -> DataFrame:
+    """Point-frequency estimates from a broadcast count-min sketch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cms.to_bytes())
+
+    @F.pandas_udf("long")
+    def lookup(h: pd.Series) -> pd.Series:
+        sk = _cached_sketch(bc.value)
+        est = sk.estimate_hashes(h.to_numpy(dtype=np.int64, na_value=0))
+        return pd.Series(est)
+
+    return df.withColumn(out_col, lookup(hash_col(F.col(col), seed)))
+
+
+def ibf_recover(df: DataFrame, col: str, ibf, *, seed: int = 0) -> DataFrame:
+    """Materialize IBF-peeled keys as real values — the distributed
+    getAllValues (Bloom_project/src/core/InvertibleBloomFilter.hpp:207-213).
+
+    Peel the merged IBF on the driver (cells are small), then SEMI-JOIN
+    the recovered key-hashes back to the source — a broadcast join on a
+    tiny literal table, so Catalyst turns recovery into one scan.
+    """
+    keys, signs, _ = ibf.peel()
+    spark = df.sparkSession
+    rec = spark.createDataFrame(
+        [(int(np.int64(k)), int(s)) for k, s in zip(keys.view(np.int64), signs)],
+        "key_hash long, sign int")
+    hashed = df.withColumn("__h", hash_col(F.col(col), seed))
+    return (hashed.join(F.broadcast(rec), hashed["__h"] == rec["key_hash"],
+                        "inner")
+            .drop("__h", "key_hash"))
+
+
+def estimate_grouped(sketches_df: DataFrame, estimator: str = "estimate",
+                     out_col: str = "estimate") -> DataFrame:
+    """Apply a sketch method (e.g. HLL estimate) to each group's payload."""
+
+    @F.pandas_udf("double")
+    def est(payload: pd.Series) -> pd.Series:
+        return pd.Series([
+            float(getattr(sketch_from_bytes(bytes(p)), estimator)())
+            for p in payload])
+
+    return sketches_df.withColumn(out_col, est(F.col("payload")))

@@ -1,0 +1,168 @@
+"""End-to-end Spark tests for the sketch aggregation layer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.kernels import (
+    BloomSketch, CountingBloomSketch, CountMinSketch, HLLSketch,
+    InvertibleBloomSketch, KLLSketch, TDigest,
+)
+from bloom_filters_spark.operators.agg import (
+    build_grouped_sketches, build_sketch, cms_lookup, estimate_grouped,
+    ibf_recover, probe_membership, salted_repartition,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+def test_hll_distinct_users(spark, events):
+    exact = events.select(F.countDistinct("user_id")).first()[0]
+    sk, n = build_sketch(events, "user_id", lambda: HLLSketch(12))
+    assert n == events.count()
+    est = sk.estimate()
+    assert abs(est - exact) / exact <= 4 * sk.relative_error + 0.02
+
+
+def test_hll_matches_spark_builtin_ballpark(spark, events):
+    builtin = events.select(
+        F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    sk, _ = build_sketch(events, "user_id", lambda: HLLSketch(13))
+    assert abs(sk.estimate() - builtin) / builtin < 0.1
+
+
+def test_bloom_probe_no_false_negatives(spark, events):
+    n_distinct = events.select("user_id").distinct().count()
+    sk, _ = build_sketch(events, "user_id",
+                         lambda: BloomSketch.from_capacity(n_distinct, 0.01))
+    probed = probe_membership(events.select("user_id").distinct(),
+                              "user_id", sk)
+    assert probed.where(~F.col("seen")).count() == 0
+
+
+def test_bloom_probe_fpr(spark, events):
+    n_distinct = events.select("user_id").distinct().count()
+    p = 0.01
+    sk, _ = build_sketch(events, "user_id",
+                         lambda: BloomSketch.from_capacity(n_distinct, p))
+    # absent keys: disjoint namespace (user_id are small ints; probe big ones)
+    absent = spark.range(1_000_000, 1_000_000 + 20_000).select(
+        F.col("id").alias("user_id"))
+    fp = probe_membership(absent, "user_id", sk).where("seen").count()
+    assert fp / 20_000 <= 2 * p
+
+
+def test_counting_bloom_distributed_delete(spark, events):
+    sk, _ = build_sketch(events.select("user_id").distinct(), "user_id",
+                         lambda: CountingBloomSketch(1 << 14, 4))
+    gone = events.select("user_id").distinct().limit(20)
+    gone_ids = [r[0] for r in gone.collect()]
+    from bloom_filters_spark.kernels.hashing import to_u64
+    import pandas as pd
+    # driver-side removal via the same JVM hash (xxhash64 of the literal)
+    hdf = spark.createDataFrame(pd.DataFrame({"user_id": gone_ids}))
+    hvals = hdf.select(F.xxhash64("user_id", F.lit(0)).alias("h")).collect()
+    sk.remove_hashes(np.array([r["h"] for r in hvals], dtype=np.int64))
+    probed = probe_membership(
+        events.select("user_id").distinct(), "user_id", sk)
+    still = probed.where(F.col("user_id").isin(gone_ids))
+    assert still.where("seen").count() <= 1  # FP tolerance
+
+
+def test_cms_heavy_hitters(spark, events):
+    exact = dict(events.groupBy("event_type").count().collect())
+    cms, total = build_sketch(events, "event_type",
+                              lambda: CountMinSketch(5, 8192))
+    assert total == sum(exact.values())
+    keys = spark.createDataFrame([(k,) for k in exact], "event_type string")
+    est = dict(cms_lookup(keys, "event_type", cms)
+               .select("event_type", "est_count").collect())
+    for k, v in exact.items():
+        assert est[k] >= v
+        assert est[k] <= v + 3 * cms.eps * total
+
+
+def test_kll_quantiles_value_based(spark, events):
+    sk, n = build_sketch(events, "value", lambda: KLLSketch(200),
+                         value_based=True)
+    vals = np.sort(np.array(
+        [r[0] for r in events.select("value").collect()], dtype=np.float64))
+    for q in (0.25, 0.5, 0.9):
+        est = sk.quantile(q)
+        rank = np.searchsorted(vals, est) / vals.size
+        assert abs(rank - q) <= 0.04
+
+
+def test_tdigest_value_based(spark, events):
+    sk, _ = build_sketch(events, "value", lambda: TDigest(100),
+                         value_based=True)
+    vals = np.sort(np.array(
+        [r[0] for r in events.select("value").collect()], dtype=np.float64))
+    for q in (0.1, 0.5, 0.99):
+        rank = np.searchsorted(vals, sk.quantile(q)) / vals.size
+        assert abs(rank - q) <= 0.02
+
+
+def test_grouped_hll_per_event_type(spark, events):
+    grouped = build_grouped_sketches(events, "user_id",
+                                     lambda: HLLSketch(12), ["event_type"])
+    est = {r["event_type"]: r["estimate"]
+           for r in estimate_grouped(grouped).collect()}
+    exact = dict(events.groupBy("event_type")
+                 .agg(F.countDistinct("user_id")).collect())
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.1, (k, est[k], v)
+
+
+def test_grouped_with_salted_merge(spark, events):
+    grouped = build_grouped_sketches(events, "user_id",
+                                     lambda: HLLSketch(12), ["event_type"],
+                                     merge_salts=4)
+    est = {r["event_type"]: r["estimate"]
+           for r in estimate_grouped(grouped).collect()}
+    exact = dict(events.groupBy("event_type")
+                 .agg(F.countDistinct("user_id")).collect())
+    for k, v in exact.items():
+        assert abs(est[k] - v) / v <= 0.1
+
+
+def test_salted_repartition_spreads_hot_key(spark, events):
+    # AQE would coalesce the tiny test partitions back into one — turn it
+    # off so the partition spread is observable at this scale
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = salted_repartition(events, F.col("event_type"), 8, salts=4,
+                                salt_from=F.col("event_id"))
+        # a single event_type value must land in >1 partition
+        parts = (df.where(F.col("event_type") == "click")
+                 .select(F.spark_partition_id().alias("pid"))
+                 .distinct().count())
+        assert parts > 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ibf_recover_set_difference(spark, events):
+    a = events.select("user_id").distinct().where("user_id < 100")
+    b = a.where("user_id >= 10")  # a \ b = user_id in [0, 10)
+    mk = lambda: InvertibleBloomSketch(512, 3)
+    ska, _ = build_sketch(a, "user_id", mk)
+    skb, _ = build_sketch(b, "user_id", mk)
+    diff = ska.subtract(skb)
+    recovered = ibf_recover(a, "user_id", diff)
+    got = sorted(r["user_id"] for r in recovered.select("user_id").collect())
+    expect = sorted(r[0] for r in a.where("user_id < 10").collect())
+    assert got == expect
+
+
+def test_partials_equal_single_pass(spark, events):
+    """Distributed build == driver-side single pass (byte-identical)."""
+    sk, _ = build_sketch(events, "user_id", lambda: HLLSketch(12))
+    hashed = events.where(F.col("user_id").isNotNull()).select(
+        F.xxhash64("user_id", F.lit(0)).alias("h")).collect()
+    one = HLLSketch(12)
+    one.update_hashes(np.array([r["h"] for r in hashed], dtype=np.int64))
+    assert one.to_bytes() == sk.to_bytes()
