@@ -1,0 +1,63 @@
+"""Pages fixture determinism + the per-url text extraction invariant."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.functions.textnorm import (
+    extract_text_scalar, with_extracted_text)
+from bloom_filters_spark.sources import generate_pages, users_df, words_df
+from bloom_filters_spark.sources.fixtures import KNOWN_ABSENT, KNOWN_MEMBER
+
+
+def test_pages_schema_and_determinism(spark):
+    df = generate_pages(spark, 2000, partitions=4)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    # partitioning must not change content (content-addressed generation)
+    a = sorted(generate_pages(spark, 500, partitions=2)
+               .select("url", "text").collect())
+    b = sorted(generate_pages(spark, 500, partitions=7)
+               .select("url", "text").collect())
+    assert a == b
+
+
+def test_pages_have_host_skew_and_dups(spark):
+    df = generate_pages(spark, 5000, partitions=8).cache()
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    top = (df.groupBy(host.alias("host")).count()
+           .orderBy(F.desc("count")).first())
+    n_hosts = df.select(host.alias("h")).distinct().count()
+    assert top["count"] > 5000 / n_hosts * 5      # zipf head is heavy
+    n, nd = df.count(), df.select("url").distinct().count()
+    assert nd < n                                  # duplicates exist
+    # duplicate urls carry identical text (per-url invariant precondition)
+    bad = (df.groupBy("url").agg(F.countDistinct("text").alias("nt"))
+           .where("nt > 1").count())
+    assert bad == 0
+    df.unpersist()
+
+
+def test_extract_text_invariant_byte_identical(spark):
+    """north_rule: extracted text byte-identical per url, pipeline vs
+    scalar reference implementation."""
+    df = generate_pages(spark, 1000, partitions=4)
+    ex = with_extracted_text(df)
+    assert ex.where(F.col("extracted_text") != F.col("text")).count() == 0
+    # cross-check the scalar reference on a sample
+    for row in df.limit(50).collect():
+        assert extract_text_scalar(bytes(row["html"])) == row["text"]
+
+
+def test_words_fixture(spark):
+    w = words_df(spark, 1000)
+    vals = {r[0] for r in w.collect()}
+    assert KNOWN_MEMBER in vals
+    assert KNOWN_ABSENT not in vals
+    assert all(len(v) == 10 for v in vals)
+
+
+def test_users_fixture(spark):
+    u = users_df(spark, 100)
+    assert u.count() == 100
+    row = u.where("id = 29").first()
+    assert row["name"] == "User29"     # the reference's probe key (:3871)
+    assert row["phone"] == "+12345678929"
