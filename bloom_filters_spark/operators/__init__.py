@@ -1,0 +1,31 @@
+from .agg import (build_grouped_sketches, build_sketch, cms_lookup,
+                  estimate_grouped, hash_col, ibf_recover, probe_membership,
+                  salted_repartition)
+from .collisions import (absolute_collisions, collision_sweep_k,
+                         collision_sweep_m, probe_indices,
+                         relative_collisions)
+from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
+                    lsh_candidate_pairs, minhash_signatures, neardup_minhash,
+                    neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
+                    verify_jaccard)
+from .relational import (count_nonempty, count_rows, distinct_count,
+                         predecessor, sort_limit, successor, top_k_by_count)
+from .similarity import (ann_topk_bruteforce, ann_topk_lsh,
+                         hyperplane_signatures)
+from .textstats import (tokenize, tokens_col, with_fingerprint, with_lang_id,
+                        with_quality_score, with_token_stats)
+
+__all__ = [
+    "build_sketch", "build_grouped_sketches", "probe_membership",
+    "cms_lookup", "ibf_recover", "estimate_grouped", "hash_col",
+    "salted_repartition", "dedup_exact", "exact_dup_groups",
+    "minhash_signatures", "lsh_candidate_pairs", "verify_jaccard",
+    "neardup_minhash", "simhash_signatures", "neardup_simhash",
+    "ngram_jaccard_pairs", "cosine_pairs", "ann_topk_bruteforce",
+    "ann_topk_lsh", "hyperplane_signatures", "tokenize", "tokens_col",
+    "with_token_stats", "with_quality_score", "with_lang_id",
+    "with_fingerprint", "sort_limit", "count_rows", "count_nonempty",
+    "successor", "predecessor", "top_k_by_count", "distinct_count",
+    "probe_indices", "relative_collisions", "absolute_collisions",
+    "collision_sweep_k", "collision_sweep_m",
+]

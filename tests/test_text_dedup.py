@@ -1,0 +1,170 @@
+"""Tests for text stats, dedup, similarity, relational, collisions."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.operators import (
+    absolute_collisions, ann_topk_bruteforce, ann_topk_lsh, cosine_pairs,
+    count_nonempty, dedup_exact, exact_dup_groups, neardup_minhash,
+    neardup_simhash, ngram_jaccard_pairs, predecessor, relative_collisions,
+    sort_limit, successor, top_k_by_count, tokenize, with_fingerprint,
+    with_lang_id, with_quality_score, with_token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents with planted exact and near duplicates."""
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog tonight"),  # exact
+        (2, "the quick brown fox jumps over the lazy cat tonight"),  # near
+        (3, "completely different words about spark sketches here now"),
+        (4, "unrelated text mentioning probabilistic data structures"),
+        (5, "the quick brown fox jumps over the lazy dog today"),    # near
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_tokenize_and_stats(spark, docs):
+    toks = tokenize(docs.limit(10), "text")
+    assert "token" in toks.columns
+    assert toks.where(F.length("token") == 0).count() == 0
+    stats = with_token_stats(docs.limit(10))
+    row = stats.first()
+    assert row["n_tokens"] > 0
+    assert 0 < row["type_token_ratio"] <= 1.0
+    # n_chars column in testdata should match calc
+    mism = stats.where(F.col("n_chars") != F.col("n_chars_calc")).count()
+    assert mism == 0
+
+
+def test_quality_score_range(spark, docs):
+    q = with_quality_score(docs.limit(50))
+    assert q.where((F.col("quality_score") < 0)
+                   | (F.col("quality_score") > 1)).count() == 0
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in that house for now"),
+         (2, "der hund und die katze ist nicht hier ich bin ein"),
+         (3, "el perro y la casa es una cosa que por con para"),
+         (4, "xyzzy qwerty plugh")],
+        "id long, text string")
+    got = {r["id"]: r["lang_guess"] for r in with_lang_id(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"),
+         (3, "alpha beta delta")],
+        "id long, text string")
+    fp = {r["id"]: r["fingerprint_md5"] for r in with_fingerprint(df).collect()}
+    assert fp[1] == fp[2]          # canonicalized: order-insensitive
+    assert fp[1] != fp[3]
+
+
+def test_dedup_exact(spark, dup_docs):
+    kept = dedup_exact(dup_docs)
+    assert kept.count() == 5                     # 6 rows, one exact dup
+    assert kept.where("doc_id = 1").count() == 0  # keep-first: id 0 wins
+    groups = exact_dup_groups(dup_docs)
+    assert groups.count() == 1
+    assert groups.first()["n_dups"] == 2
+
+
+def test_neardup_minhash_finds_planted(spark, dup_docs):
+    pairs = neardup_minhash(dup_docs, threshold=0.5, num_perm=64, bands=32)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (0, 1) in got                         # exact dup always found
+    # near dups (1-word change out of ~9 distinct) at j ≈ 0.8
+    assert (0, 2) in got or (1, 2) in got
+    # verification: no false positives — every returned pair ≥ threshold
+    for r in pairs.collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_neardup_simhash_complete_recall(spark, dup_docs):
+    pairs = neardup_simhash(dup_docs, max_hamming=7, chunks=8)
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (0, 1) in got                         # identical → hamming 0
+    for r in pairs.collect():
+        assert r["hamming"] <= 7
+
+
+def test_ngram_jaccard_exact(spark, dup_docs):
+    pairs = ngram_jaccard_pairs(dup_docs, threshold=0.7)
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    # exactness: compute expected jaccard for (0, 2) by hand
+    t0 = set("the quick brown fox jumps over the lazy dog tonight".split())
+    t2 = set("the quick brown fox jumps over the lazy cat tonight".split())
+    expect = len(t0 & t2) / len(t0 | t2)
+    assert abs(got[(0, 2)] - round(expect, 6)) < 1e-9
+
+
+def test_cosine_pairs_and_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    dim = len(emb.first()["embedding"])
+    pairs = cosine_pairs(emb.limit(100), threshold=0.99)
+    for r in pairs.limit(5).collect():
+        assert r["cosine"] >= 0.99
+    queries = (emb.limit(5)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    exact = ann_topk_bruteforce(emb, queries, k=3)
+    rows = exact.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = min(rs, key=lambda r: r["rank"])
+        assert best["neighbor_id"] == qid        # self is nearest (cos=1)
+        assert len(rs) == 3
+    # LSH recall vs exact top-1 (self-match must survive bucketing)
+    approx = ann_topk_lsh(emb, queries, dim=dim, k=1,
+                          n_planes=8, n_tables=4)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx.collect()}
+    assert all(top1[q] == q for q in top1)
+    emb.unpersist()
+
+
+def test_relational_surface(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    top = sort_limit(orders, "o_orderkey", 5).collect()
+    keys = [r["o_orderkey"] for r in top]
+    assert keys == sorted(keys, reverse=True)
+    assert successor(orders, "o_orderkey", 10).first()["successor"] >= 10
+    assert predecessor(orders, "o_orderkey", 10).first()["predecessor"] <= 10
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert count_nonempty(docs, "text") == docs.count()
+    hh = top_k_by_count(tokenize(docs, "text"), "token", 10)
+    rows = hh.collect()
+    assert len(rows) == 10
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_collision_metrics_vs_bruteforce(spark):
+    pdf = pd.DataFrame({"v": [f"item{i}" for i in range(500)]})
+    df = spark.createDataFrame(pdf)
+    k, m = 3, 1000
+    rel = relative_collisions(df, "v", k, m).first()[0]
+    # brute force with the same hash derivation
+    hashed = df.select(F.xxhash64("v", F.lit(0)).alias("h")).collect()
+    from bloom_filters_spark.kernels.hashing import km_indices
+    idx = km_indices(np.array([r["h"] for r in hashed], dtype=np.int64), k, m)
+    cells, counts = np.unique(idx.ravel(), return_counts=True)
+    assert rel == int((counts[counts > 1] - 1).sum())
+    ab = absolute_collisions(df, "v", k, m).first()[0]
+    sigs, scnt = np.unique(idx, axis=0, return_counts=True)
+    assert ab == int((scnt * (scnt - 1) // 2).sum())
