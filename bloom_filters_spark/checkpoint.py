@@ -1,0 +1,167 @@
+"""Partial-sketch checkpointing with lineage + resume.
+
+north_rule: "Per-partition sketches carry lineage and are checkpointed
+to Iceberg so a killed job resumes by merging surviving partials."
+
+Design (Iceberg-shaped, parquet-backed — SURVEY.md §7 sandbox note: the
+table schema matches an Iceberg append table; swapping the writer to
+``writeTo(...).append()`` is a config change, no Iceberg jars here):
+
+- work is split into ``n_shards`` CONTENT-ADDRESSED shards:
+  shard = pmod(xxhash64(key, seed), n_shards). Shard membership depends
+  only on row content, never on partition ids or task scheduling — so a
+  re-run of shard 17 on any cluster layout rebuilds byte-identical
+  state, which is what makes resume sound.
+- each shard's partial sketch row carries lineage:
+  (sketch_id, shard, attempt, n_rows, source, created_ts, payload).
+- resume(sketch_id) = read surviving partials, keep the latest attempt
+  per shard, recompute ONLY missing shards (filter pushdown on the
+  shard expression), merge everything.
+
+The final merged sketch is byte-identical between an uninterrupted run
+and any kill/resume sequence (asserted in tests) because the monoid
+merges are order-invariant and shard contents are content-addressed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .kernels import sketch_from_bytes
+from .operators.agg import hash_col
+
+_LINEAGE_SCHEMA = ("sketch_id string, shard int, attempt long, n_rows long, "
+                   "source string, created_ts timestamp, payload binary")
+
+
+def _shard_col(col: str, n_shards: int, seed: int):
+    return F.pmod(F.xxhash64(F.col(col), F.lit(seed + 7919)), F.lit(n_shards))
+
+
+def _build_shard_partials(df: DataFrame, col: str, factory: Callable,
+                          sketch_id: str, shards: list[int] | None,
+                          n_shards: int, seed: int, attempt: int,
+                          source: str, value_based: bool) -> DataFrame:
+    """One partial sketch row per shard (content-addressed groups)."""
+    sel = df.where(F.col(col).isNotNull()).select(
+        _shard_col(col, n_shards, seed).cast("int").alias("shard"),
+        (F.col(col).cast("double") if value_based
+         else hash_col(F.col(col), seed)).alias("__v"))
+    if shards is not None:
+        sel = sel.where(F.col("shard").isin([int(s) for s in shards]))
+    now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = factory()
+        if value_based:
+            sk.update_values(pdf["__v"].to_numpy(dtype=np.float64,
+                                                 na_value=np.nan))
+        else:
+            sk.update_hashes(pdf["__v"].to_numpy(dtype=np.int64, na_value=0))
+        return pd.DataFrame({
+            "sketch_id": [sketch_id], "shard": [int(key[0])],
+            "attempt": [attempt], "n_rows": [len(pdf)],
+            "source": [source], "created_ts": [now],
+            "payload": [sk.to_bytes()]})
+
+    return sel.groupBy("shard").applyInPandas(build, schema=_LINEAGE_SCHEMA)
+
+
+class SketchCheckpoint:
+    """Checkpointed sketch builds over a parquet lineage table."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str,
+                 n_shards: int = 64, seed: int = 0):
+        self.spark = spark
+        self.dir = checkpoint_dir
+        self.n_shards = int(n_shards)
+        self.seed = int(seed)
+
+    def _table(self) -> DataFrame | None:
+        if not os.path.isdir(self.dir):
+            return None
+        try:
+            return self.spark.read.parquet(self.dir)
+        except Exception:
+            return None
+
+    def _write_partials(self, df, col, factory, sketch_id, shards,
+                        attempt, source, value_based) -> None:
+        """Write shard partials + explicit zero-sketch rows for shards
+        that matched no data (so an empty shard counts as DONE and is
+        not pointlessly recomputed on every resume)."""
+        partials = _build_shard_partials(
+            df, col, factory, sketch_id, shards, self.n_shards, self.seed,
+            attempt, source, value_based)
+        partials.write.mode("append").parquet(self.dir)
+        requested = set(range(self.n_shards)) if shards is None else set(shards)
+        written = self.surviving_shards(sketch_id, attempt=attempt)
+        empty = sorted(requested - written)
+        if empty:
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            rows = [(sketch_id, int(s), attempt, 0, source, now,
+                     bytearray(factory().to_bytes())) for s in empty]
+            self.spark.createDataFrame(rows, _LINEAGE_SCHEMA) \
+                .write.mode("append").parquet(self.dir)
+
+    def build(self, df: DataFrame, col: str, factory: Callable,
+              sketch_id: str, *, source: str = "", value_based: bool = False,
+              fail_after_shards: int | None = None):
+        """Full checkpointed build. ``fail_after_shards`` simulates a kill:
+        only that many shards are checkpointed before raising (test hook
+        for the north_rule resume test)."""
+        attempt = int(time.time() * 1000)
+        shards = None
+        if fail_after_shards is not None:
+            shards = list(range(fail_after_shards))
+        self._write_partials(df, col, factory, sketch_id, shards, attempt,
+                             source, value_based)
+        if fail_after_shards is not None:
+            raise RuntimeError(
+                f"simulated kill after {fail_after_shards} shards")
+        return self.resume(df, col, factory, sketch_id, source=source,
+                           value_based=value_based)
+
+    def surviving_shards(self, sketch_id: str,
+                         attempt: int | None = None) -> set[int]:
+        t = self._table()
+        if t is None:
+            return set()
+        t = t.where(F.col("sketch_id") == sketch_id)
+        if attempt is not None:
+            t = t.where(F.col("attempt") == attempt)
+        return {r["shard"] for r in t.select("shard").distinct().collect()}
+
+    def resume(self, df: DataFrame, col: str, factory: Callable,
+               sketch_id: str, *, source: str = "",
+               value_based: bool = False):
+        """Recompute only missing shards, then merge latest-attempt
+        partials per shard → (sketch, n_rows, lineage summary)."""
+        have = self.surviving_shards(sketch_id)
+        missing = sorted(set(range(self.n_shards)) - have)
+        if missing:
+            attempt = int(time.time() * 1000)
+            self._write_partials(df, col, factory, sketch_id, missing,
+                                 attempt, source, value_based)
+        t = self._table().where(F.col("sketch_id") == sketch_id)
+        # latest attempt per shard wins (idempotent re-runs)
+        latest = (t.groupBy("shard")
+                  .agg(F.max("attempt").alias("attempt")))
+        rows = (t.join(latest, ["shard", "attempt"])
+                .select("shard", "n_rows", "payload")
+                .collect())
+        sk, n = None, 0
+        for r in sorted(rows, key=lambda r: r["shard"]):
+            part = sketch_from_bytes(bytes(r["payload"]))
+            sk = part if sk is None else sk.merge(part)
+            n += int(r["n_rows"])
+        lineage = {"sketch_id": sketch_id, "n_shards": self.n_shards,
+                   "recomputed_shards": missing, "n_rows": n}
+        return sk, n, lineage

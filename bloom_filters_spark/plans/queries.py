@@ -1,0 +1,116 @@
+"""North-star end-to-end queries (SURVEY.md §3, BASELINE.json north_star).
+
+Each is a named pipeline over a pages-shaped or documents-shaped table:
+  - distinct_urls / distinct_hosts  (HLL cardinality)
+  - seen_before                     (Bloom membership probe)
+  - heavy_hitter_tokens             (count-min + exact candidate top-k)
+  - text_length_quantiles           (KLL)
+  - flagship_hll_bloom              (EP3: HLL → sized DynBloom → probes)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels import (BloomSketch, CountMinSketch, HLLSketch, KLLSketch)
+from ..operators.agg import build_sketch, cms_lookup, probe_membership
+from ..operators.relational import top_k_by_count
+from ..operators.textstats import tokenize
+
+HOST_RE = r"^[a-z]+://([^/]+)"
+
+
+def host_col(url_col: str = "url"):
+    return F.regexp_extract(F.col(url_col), HOST_RE, 1)
+
+
+def distinct_urls(df: DataFrame, p: int = 12) -> dict:
+    sk, n = build_sketch(df, "url", lambda: HLLSketch(p))
+    return {"estimate": sk.estimate(), "n_rows": n,
+            "rel_error_bound": sk.relative_error, "sketch": sk}
+
+
+def distinct_hosts(df: DataFrame, p: int = 12, url_col: str = "url") -> dict:
+    hosts = df.select(host_col(url_col).alias("host"))
+    sk, n = build_sketch(hosts, "host", lambda: HLLSketch(p))
+    return {"estimate": sk.estimate(), "n_rows": n,
+            "rel_error_bound": sk.relative_error, "sketch": sk}
+
+
+def seen_before(history: DataFrame, incoming: DataFrame, col: str = "url",
+                p: float = 0.01, capacity: int | None = None) -> DataFrame:
+    """Mark incoming rows whose key was (probably) seen in history.
+    False ⇒ definitely new (no false negatives) — the dedup guard."""
+    if capacity is None:
+        # size from an HLL estimate (one cheap extra pass on history)
+        est, _ = build_sketch(history, col, lambda: HLLSketch(12))
+        capacity = max(1024, int(est.estimate() * 1.2))
+    bf, _ = build_sketch(history, col,
+                         lambda: BloomSketch.from_capacity(capacity, p))
+    return probe_membership(incoming, col, bf, out_col="seen_before")
+
+
+def heavy_hitter_tokens(df: DataFrame, text_col: str = "text", k: int = 20,
+                        depth: int = 5, width: int = 1 << 14) -> DataFrame:
+    """Top-k tokens: exact groupBy candidates (cheap at any scale thanks
+    to partial aggregation) + CMS estimates beside the exact counts —
+    the sketch answers point lookups at 100 TB without the groupBy."""
+    toks = tokenize(df.select(text_col), text_col)
+    cms, total = build_sketch(toks, "token",
+                              lambda: CountMinSketch(depth, width))
+    top = top_k_by_count(toks, "token", k)
+    return (cms_lookup(top, "token", cms, out_col="cms_estimate")
+            .withColumn("cms_total", F.lit(total)))
+
+
+def text_length_quantiles(df: DataFrame, text_col: str = "text",
+                          qs=(0.25, 0.5, 0.75, 0.95, 0.99),
+                          kll_k: int = 200) -> dict:
+    lens = df.select(F.length(F.col(text_col)).alias("len"))
+    sk, n = build_sketch(lens, "len", lambda: KLLSketch(kll_k),
+                         value_based=True)
+    return {"quantiles": {q: sk.quantile(q) for q in qs}, "n_rows": n,
+            "sketch": sk}
+
+
+def round_leading_order(x: float) -> int:
+    """P6: round an estimate to its leading-digit order of magnitude
+    (Bloom_project/src/core/Bloom_project.cpp:4792-4800)."""
+    if x <= 0:
+        return 0
+    mag = 10 ** math.floor(math.log10(x))
+    return int(round(x / mag) * mag)
+
+
+def flagship_hll_bloom(df: DataFrame, col: str, *, p_hll: int = 13,
+                       p_fpr: float = 0.1, probes: DataFrame | None = None,
+                       probe_col: str | None = None) -> dict:
+    """EP3, the reference's showcase composition
+    (Bloom_project/src/core/Bloom_project.cpp:4744-4834):
+
+    job1: HLL(p=13) over the column → n̂;
+    driver: round n̂ to leading order (P6), size DynBloom(m*, k*) from
+            (n̂, p) — the clean K19 formulas;
+    job2: Bloom build over the same column;
+    job3: broadcast-probe a probe set; report membership + stats.
+    """
+    hll, n_rows = build_sketch(df, col, lambda: HLLSketch(p_hll))
+    est = hll.estimate()
+    rounded = max(10, round_leading_order(est))
+    bf, _ = build_sketch(df, col,
+                         lambda: BloomSketch.from_capacity(rounded, p_fpr))
+    out = {
+        "hll_estimate": est,
+        "rounded_capacity": rounded,
+        "bloom_m": bf.m, "bloom_k": bf.k,
+        "bloom_size_bytes": bf.size_bytes,
+        "theoretical_fpr": bf.theoretical_fpr(),
+        "n_rows": n_rows,
+        "sketch": bf, "hll": hll,
+    }
+    if probes is not None:
+        probed = probe_membership(probes, probe_col or col, bf)
+        out["probe_results"] = probed
+    return out

@@ -1,0 +1,83 @@
+"""Structured Streaming sketch accumulation.
+
+The sketches are mergeable monoids, so streaming support is
+``foreachBatch``: build a partial over each micro-batch with the SAME
+batch aggregation layer, merge into the running sketch, optionally
+persist every merged state to a checkpoint dir (so a killed stream
+resumes from the last merged sketch — the streaming twin of
+checkpoint.SketchCheckpoint).
+
+The reference has no streaming (its GUI ingests one line per frame,
+Bloom_project/src/core/Bloom_project.cpp:916-935 — cosmetic); this is
+the Spark-native extension point promised in SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from ..kernels import sketch_from_bytes
+from ..operators.agg import build_sketch
+
+
+class StreamingSketchAccumulator:
+    """foreachBatch sink that folds micro-batches into one sketch."""
+
+    def __init__(self, col: str, factory: Callable, *,
+                 value_based: bool = False, state_dir: str | None = None):
+        self.col = col
+        self.factory = factory
+        self.value_based = value_based
+        self.state_dir = state_dir
+        self.sketch = None
+        self.n_rows = 0
+        self.n_batches = 0
+        if state_dir:
+            self._restore()
+
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "sketch_state.bin")
+
+    def _restore(self) -> None:
+        path = self._state_path()
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                raw = f.read()
+            n = int.from_bytes(raw[:8], "little")
+            self.n_rows = n
+            self.sketch = sketch_from_bytes(raw[8:])
+
+    def _persist(self) -> None:
+        if not self.state_dir:
+            return
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.n_rows.to_bytes(8, "little"))
+            f.write(self.sketch.to_bytes())
+        os.replace(tmp, self._state_path())
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        part, n = build_sketch(batch_df, self.col, self.factory,
+                               value_based=self.value_based)
+        if n == 0:
+            return
+        self.sketch = part if self.sketch is None else self.sketch.merge(part)
+        self.n_rows += n
+        self.n_batches += 1
+        self._persist()
+
+
+def run_stream_accumulation(stream_df: DataFrame, acc:
+                            StreamingSketchAccumulator,
+                            checkpoint_dir: str | None = None):
+    """Start (availableNow) a stream that folds into ``acc`` and wait."""
+    writer = stream_df.writeStream.foreachBatch(acc)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return acc

@@ -1,0 +1,74 @@
+"""north_rule resume + streaming accumulation tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import pytest
+
+from bloom_filters_spark.checkpoint import SketchCheckpoint
+from bloom_filters_spark.kernels import BloomSketch, HLLSketch
+from bloom_filters_spark.operators.agg import build_sketch
+from bloom_filters_spark.streaming import (
+    StreamingSketchAccumulator, run_stream_accumulation)
+
+
+def test_checkpoint_build_equals_direct(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cp = SketchCheckpoint(spark, str(tmp_path / "cp1"), n_shards=16)
+    sk, n, lineage = cp.build(events, "user_id", lambda: HLLSketch(12),
+                              "hll_users", source="events")
+    direct, n2 = build_sketch(events, "user_id", lambda: HLLSketch(12))
+    assert n == n2
+    assert sk.to_bytes() == direct.to_bytes()     # byte-identical
+    assert lineage["recomputed_shards"] == []
+
+
+def test_kill_and_resume_byte_identical(spark, sf_dir, tmp_path):
+    """Kill after 5/16 shards → resume → same bytes as uninterrupted."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    factory = lambda: BloomSketch(1 << 14, 5)
+    cp = SketchCheckpoint(spark, str(tmp_path / "cp2"), n_shards=16)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        cp.build(events, "user_id", factory, "bloom_users",
+                 fail_after_shards=5)
+    assert len(cp.surviving_shards("bloom_users")) == 5
+    sk, n, lineage = cp.resume(events, "user_id", factory, "bloom_users")
+    assert len(lineage["recomputed_shards"]) == 11
+    direct, n2 = build_sketch(events, "user_id", factory)
+    assert n == n2
+    assert sk.to_bytes() == direct.to_bytes()
+
+
+def test_resume_is_idempotent(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    factory = lambda: HLLSketch(11)
+    cp = SketchCheckpoint(spark, str(tmp_path / "cp3"), n_shards=8)
+    sk1, n1, _ = cp.build(events, "user_id", factory, "h")
+    sk2, n2, lin = cp.resume(events, "user_id", factory, "h")
+    assert lin["recomputed_shards"] == []
+    assert sk1.to_bytes() == sk2.to_bytes() and n1 == n2
+
+
+def test_streaming_accumulation(spark, tmp_path):
+    """File-source stream processed availableNow: the accumulated sketch
+    must match a batch build over the union of all files."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i in range(4):
+        spark.range(i * 1000, (i + 1) * 1000).select(
+            F.col("id").alias("user_id")).write.parquet(
+            str(src / f"part{i}.parquet"))
+    stream = (spark.readStream.schema("user_id long")
+              .parquet(str(src / "*.parquet")))
+    acc = StreamingSketchAccumulator("user_id", lambda: HLLSketch(12),
+                                     state_dir=str(tmp_path / "state"))
+    run_stream_accumulation(stream, acc,
+                            checkpoint_dir=str(tmp_path / "stream_cp"))
+    assert acc.n_rows == 4000
+    est = acc.sketch.estimate()
+    assert abs(est - 4000) / 4000 < 0.1
+    # state persisted → a new accumulator restores it
+    acc2 = StreamingSketchAccumulator("user_id", lambda: HLLSketch(12),
+                                      state_dir=str(tmp_path / "state"))
+    assert acc2.sketch is not None
+    assert acc2.sketch.to_bytes() == acc.sketch.to_bytes()

@@ -1,0 +1,81 @@
+"""North-star query pipelines over the synthetic pages table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.plans import (
+    distinct_hosts, distinct_urls, flagship_hll_bloom, heavy_hitter_tokens,
+    round_leading_order, seen_before, text_length_quantiles)
+from bloom_filters_spark.sources import generate_pages, words_df
+from bloom_filters_spark.sources.fixtures import KNOWN_ABSENT, KNOWN_MEMBER
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 5000, partitions=8).cache()
+
+
+def test_distinct_urls_and_hosts(spark, pages):
+    r = distinct_urls(pages)
+    exact = pages.select("url").distinct().count()
+    assert abs(r["estimate"] - exact) / exact <= 4 * r["rel_error_bound"]
+    rh = distinct_hosts(pages)
+    exact_h = pages.select(
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)).distinct().count()
+    assert abs(rh["estimate"] - exact_h) / exact_h <= 0.1
+
+
+def test_seen_before(spark, pages):
+    history = pages.where(F.col("warc_ts") < "2026-01-15")
+    incoming = pages.where(F.col("warc_ts") >= "2026-01-15")
+    marked = seen_before(history, incoming, "url", p=0.01)
+    # every actually-seen url must be flagged (no false negatives)
+    truly_seen = incoming.join(history.select("url").distinct(), "url",
+                               "left_semi")
+    flagged = marked.where("seen_before").select("url").distinct()
+    missed = truly_seen.select("url").distinct().join(
+        flagged, "url", "left_anti").count()
+    assert missed == 0
+
+
+def test_heavy_hitter_tokens(spark, pages):
+    hh = heavy_hitter_tokens(pages, "text", k=10)
+    rows = hh.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_estimate"] >= r["cnt"]          # CMS never under
+        assert r["cms_estimate"] <= r["cnt"] + 0.01 * r["cms_total"]
+
+
+def test_text_length_quantiles(spark, pages):
+    r = text_length_quantiles(pages)
+    qs = r["quantiles"]
+    assert qs[0.25] <= qs[0.5] <= qs[0.75] <= qs[0.99]
+    import numpy as np
+    lens = np.sort(np.array(
+        [x[0] for x in pages.select(F.length("text")).collect()]))
+    for q in (0.5, 0.95):
+        rank = np.searchsorted(lens, qs[q]) / lens.size
+        assert abs(rank - q) < 0.05
+
+
+def test_round_leading_order():
+    # P6 examples (Bloom_project/src/core/Bloom_project.cpp:4792-4800)
+    assert round_leading_order(9537.0) == 10000
+    assert round_leading_order(1234.0) == 1000
+    assert round_leading_order(94.0) == 90
+
+
+def test_flagship_hll_bloom(spark):
+    words = words_df(spark, 10_000).cache()
+    probes = spark.createDataFrame(
+        [(KNOWN_MEMBER,), (KNOWN_ABSENT,)], "value string")
+    r = flagship_hll_bloom(words, "value", p_hll=13, p_fpr=0.1,
+                           probes=probes)
+    exact = words.select("value").distinct().count()
+    assert abs(r["hll_estimate"] - exact) / exact < 0.05
+    got = {x["value"]: x["seen"] for x in r["probe_results"].collect()}
+    assert got[KNOWN_MEMBER] is True      # present word found (:4829)
+    assert got[KNOWN_ABSENT] is False     # absent word rejected (:4828)
+    assert r["bloom_k"] >= 1 and r["bloom_m"] > 0
+    words.unpersist()
