@@ -1,0 +1,190 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Extra keys: "pages_docs_per_sec" — sketch-build throughput over the
+north-star synthetic pages table (the BASELINE.json headline metric);
+"cores" — parallelism used. Scaling-efficiency evidence (same job at
+local[8] vs local[32]) lives in scripts/bench_scaling.py → BENCH/.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bloom_filters_spark.kernels import (  # noqa: E402
+    BloomSketch, CountMinSketch, HLLSketch, KLLSketch)
+from bloom_filters_spark.operators.agg import (  # noqa: E402
+    build_grouped_sketches, build_sketch, probe_membership)
+from bloom_filters_spark.operators import dedup as dd  # noqa: E402
+from bloom_filters_spark.operators import relational as rel  # noqa: E402
+from bloom_filters_spark.operators import similarity as sim  # noqa: E402
+from bloom_filters_spark.operators import textstats as ts  # noqa: E402
+from bloom_filters_spark.plans import queries as plans  # noqa: E402
+from bloom_filters_spark.session import get_spark  # noqa: E402
+from bloom_filters_spark.sources.pages import generate_pages  # noqa: E402
+
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+
+
+_PAGES_PATH: str | None = None
+
+
+def _staged_pages(spark):
+    """Generate the north-star pages table once, staged as parquet —
+    sketch benchmarks then measure table-scan + sketch throughput
+    (the BASELINE.json metric), not fixture synthesis."""
+    global _PAGES_PATH
+    if _PAGES_PATH is None:
+        import tempfile
+        _PAGES_PATH = os.path.join(tempfile.mkdtemp(prefix="bench_pages"),
+                                   "pages")
+        generate_pages(spark, N_PAGES).write.parquet(_PAGES_PATH)
+    return spark.read.parquet(_PAGES_PATH)
+
+
+def q_pages_generate(spark, sf_dir):
+    """Synthesize + persist the pages table (fixture cost, timed apart)."""
+    return _staged_pages(spark).count()
+
+
+def q_pages_hll_build(spark, sf_dir):
+    """Single sketch build over the pages table — the BASELINE.json
+    'sketch-build throughput (docs/sec)' measurement."""
+    pages = _staged_pages(spark).select("url")
+    hll, n = build_sketch(pages, "url", lambda: HLLSketch(13))
+    return n
+
+
+def q_pages_bloom_probe(spark, sf_dir):
+    """Seen-before Bloom build + full-table probe (no false negatives)."""
+    pages = _staged_pages(spark).select("url")
+    hll, n = build_sketch(pages, "url", lambda: HLLSketch(13))
+    bf, _ = build_sketch(pages, "url",
+                         lambda: BloomSketch.from_capacity(
+                             max(1024, int(hll.estimate() * 1.2)), 0.01))
+    fn = probe_membership(pages, "url", bf).where(~F.col("seen")).count()
+    assert fn == 0, f"bloom false negatives: {fn}"
+    return n
+
+
+def q_hll_distinct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk, n = build_sketch(li, "l_orderkey", lambda: HLLSketch(13))
+    return sk.estimate()
+
+
+def q_hll_grouped_hosts(spark, sf_dir):
+    """Grouped cardinality (per-source distinct docs) with salted merge."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grouped = build_grouped_sketches(docs, "doc_id", lambda: HLLSketch(12),
+                                     ["source"], merge_salts=4)
+    return grouped.count()
+
+
+def q_bloom_seen_before(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = plans.seen_before(orders.select(F.col("o_orderkey").alias("k")),
+                            li.select(F.col("l_orderkey").alias("k")),
+                            col="k", p=0.01)
+    return out.where("seen_before").count()
+
+
+def q_cms_heavy_tokens(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = plans.heavy_hitter_tokens(docs, "text", k=20)
+    return out.count()
+
+
+def q_kll_quantiles(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sk, _ = build_sketch(li, "l_extendedprice", lambda: KLLSketch(200),
+                         value_based=True)
+    return sk.quantile(0.5)
+
+
+def q_minhash_neardup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.neardup_minhash(docs, "doc_id", "text",
+                              threshold=0.8).count()
+
+
+def q_simhash_neardup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.neardup_simhash(docs, "doc_id", "text", max_hamming=7,
+                              chunks=8).count()
+
+
+def q_tokens_topk(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = ts.tokenize(docs.select("text"), "text").select("token")
+    return len(rel.top_k_by_count(toks, "token", 20).collect())
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where("vec_id < 20")
+    return sim.ann_topk_lsh(emb.where("vec_id >= 20"), queries_df,
+                            dim=64, k=10, qid_col="vec_id").count()
+
+
+QUERIES = {
+    "pages_generate": q_pages_generate,
+    "pages_hll_build": q_pages_hll_build,
+    "pages_bloom_probe": q_pages_bloom_probe,
+    "hll_distinct": q_hll_distinct,
+    "hll_grouped_hosts": q_hll_grouped_hosts,
+    "bloom_seen_before": q_bloom_seen_before,
+    "cms_heavy_tokens": q_cms_heavy_tokens,
+    "kll_quantiles": q_kll_quantiles,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "tokens_topk": q_tokens_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    pages_rate = None
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        result = fn(spark, sf_dir)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "pages_hll_build":
+            pages_rate = round(result / dt, 1)
+        print(f"# {name}: {dt:.2f}s (result={result})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline sketch+dedup query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pages_docs_per_sec": pages_rate,
+        "n_pages": N_PAGES,
+        "cores": cores,
+    }))
+
+
+if __name__ == "__main__":
+    main()

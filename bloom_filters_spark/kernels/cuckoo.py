@@ -163,6 +163,13 @@ class CuckooBank:
     def wrap(cls, cf: CuckooFilter) -> "CuckooBank":
         return cls([cf])
 
+    def update_hashes(self, h1) -> None:
+        """Batch insert into this bank's seed member — the per-partition
+        build path (build_sketch partials insert locally, merge concats)."""
+        if not self.members:
+            self.members.append(CuckooFilter())
+        self.members[0].update_hashes(h1)
+
     def contains_hashes(self, h1) -> np.ndarray:
         h1 = np.asarray(h1)
         out = np.zeros(h1.size, dtype=bool)

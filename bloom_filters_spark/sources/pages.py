@@ -80,13 +80,18 @@ def generate_pdf(ids: np.ndarray) -> pd.DataFrame:
         [np.arange(n, dtype=np.int64) for n in k]).astype(_U64)
     word_idx = np.searchsorted(_VOCAB_CDF, _u01(flat_seed.astype(np.int64), 6))
 
-    urls, texts, htmls, langs = [], [], [], []
+    # vectorized string assembly: per-word strings come from one C-level
+    # np.char.mod; per-row joins slice the flat array (no per-word Python)
+    flat_words = np.char.mod("w%d", word_idx)
+    host_str = np.char.mod("https://host%05d.example/p", host_rank)
+    urls_arr = np.char.add(host_str, path.astype("U"))
+    urls, texts, htmls = [], [], []
+    join = " ".join
     for i in range(ids.size):
-        words = word_idx[offsets[i]:offsets[i + 1]]
-        text = " ".join(f"w{w}" for w in words)
-        url = f"https://host{host_rank[i]:05d}.example/p{int(path[i])}"
-        title = url.encode()
-        html = (b"<html><head><title>" + title + b"</title></head><body><p>"
+        text = join(flat_words[offsets[i]:offsets[i + 1]])
+        url = urls_arr[i]
+        html = (b"<html><head><title>" + url.encode()
+                + b"</title></head><body><p>"
                 + text.encode() + b"</p></body></html>")
         urls.append(url)
         texts.append(text)
