@@ -43,6 +43,9 @@ from bloom_filters_spark.operators.collisions import (
     absolute_collisions, relative_collisions)
 from bloom_filters_spark.checkpoint import SketchCheckpoint
 from bloom_filters_spark.functions.textnorm import with_extracted_text
+from bloom_filters_spark.sources.fixtures import (
+    KNOWN_ABSENT, KNOWN_MEMBER, SALES_HEADER, sales_lines_df, users_df,
+    words_df)
 from bloom_filters_spark.sources.pages import generate_pages
 from bloom_filters_spark.plans import queries as plans
 
@@ -595,6 +598,84 @@ def q_flagship_hll_bloom(spark, sf_dir):
         "false_negatives long, fpr_within_bound boolean")
 
 
+def q_s6_seeded_users(spark, sf_dir):
+    """S6 + S4 (EP2): create + seed the users table (1000 synthetic
+    rows), persist it, read back, ORDER BY id DESC LIMIT 20
+    (Bloom_project/src/core/Bloom_project.cpp:3784-3827, :2771-2797)."""
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        users_df(spark, 1000).write.parquet(f"{td}/users")
+        back = spark.read.parquet(f"{td}/users")
+        rows = (back.orderBy(F.desc("id")).limit(20)
+                .select("id", "name").collect())
+    return spark.createDataFrame([(int(r["id"]), r["name"]) for r in rows],
+                                 "id long, name string")
+
+
+def q_s7_words_fixture(spark, sf_dir):
+    """S7: deterministic words.txt analogue; the reference's probe pair
+    must behave as in its console run (member present, absent absent)
+    (Bloom_project/src/core/Bloom_project.cpp:573-591, :4825-4834)."""
+    words = words_df(spark, 10_000)
+    n = words.count()
+    member = words.where(F.col("value") == KNOWN_MEMBER).count() > 0
+    absent = words.where(F.col("value") == KNOWN_ABSENT).count() > 0
+    return spark.createDataFrame(
+        [(int(n), bool(member), bool(absent))],
+        "n_rows long, has_member boolean, has_absent boolean")
+
+
+def q_s1_raw_lines_bloom(spark, sf_dir):
+    """EP1/S1/S2: classic Bloom over raw CSV lines (never column-parsed,
+    Bloom_project/src/core/Bloom_project.cpp:3674-3681): header line
+    probes present, 'apple'/'orange' probe absent (:3689-3696)."""
+    lines = sales_lines_df(spark, 1000)
+    sk, n = build_sketch(lines, "value",
+                         lambda: BloomSketch.from_capacity(1000, 0.01))
+    probes = spark.createDataFrame(
+        [(SALES_HEADER,), ("apple",), ("orange",)], "value string")
+    probed = probe_membership(probes, "value", sk)
+    header_seen = probed.where(
+        (F.col("value") == SALES_HEADER) & F.col("seen")).count() == 1
+    absent_fp = probed.where(
+        (F.col("value") != SALES_HEADER) & F.col("seen")).count()
+    return spark.createDataFrame(
+        [(int(n), bool(header_seen), int(absent_fp))],
+        "n_lines long, header_seen boolean, absent_false_positives long")
+
+
+def q_p5_truncate(spark, sf_dir):
+    """P5: display truncation substr(0,77) + '...'
+    (Bloom_project/src/core/Bloom_project.cpp:2790)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 77), F.lit("...")).alias("preview"))
+
+
+def q_h4_h5_digests(spark, sf_dir):
+    """H4/H5: cryptographic digest functions (sha256/md5 of names,
+    Bloom_project/src/hash/HashFunctions.cpp:42-70) as JVM built-ins."""
+    cust = _t(spark, sf_dir, "customer").where("c_custkey <= 50")
+    return cust.select(
+        "c_name",
+        F.md5(F.col("c_name")).alias("md5_hex"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_hex"))
+
+
+def q_d1_collision_sweep(spark, sf_dir):
+    """D1 (src/analysis/CollisionAnalyzer.cpp:21-70): relative-collision
+    sweep over k=1..5 at fixed m; collisions grow monotonically with k
+    (each extra hash can only set more bits)."""
+    from bloom_filters_spark.operators.collisions import collision_sweep_k
+    cust = _t(spark, sf_dir, "customer")
+    pts = collision_sweep_k(cust, "c_name", m=5000)
+    mono = all(pts[i]["relative_collisions"] <= pts[i + 1]["relative_collisions"]
+               for i in range(len(pts) - 1))
+    return spark.createDataFrame([(len(pts), bool(mono))],
+                                 "n_points long, monotonic boolean")
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -642,6 +723,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "streaming_accumulate": q_streaming_accumulate,
         "flagship_hll_bloom": q_flagship_hll_bloom,
+        "s6_seeded_users": q_s6_seeded_users,
+        "s7_words_fixture": q_s7_words_fixture,
+        "s1_raw_lines_bloom": q_s1_raw_lines_bloom,
+        "p5_truncate": q_p5_truncate,
+        "h4_h5_digests": q_h4_h5_digests,
+        "d1_collision_sweep": q_d1_collision_sweep,
     }
 
 
@@ -846,4 +933,22 @@ def oracle_sql() -> dict[str, str]:
             f"TRUE AS hll_within_bound, CAST(0 AS BIGINT) AS "
             f"false_negatives, TRUE AS fpr_within_bound FROM "
             f"(SELECT unnest({_SQL_TOKS}) AS token FROM documents)",
+        "s6_seeded_users":
+            "SELECT 1001 - range AS id, 'User' || CAST(1001 - range AS "
+            "VARCHAR) AS name FROM range(1, 21)",
+        "s7_words_fixture":
+            "SELECT CAST(10000 AS BIGINT) AS n_rows, TRUE AS has_member, "
+            "FALSE AS has_absent",
+        "s1_raw_lines_bloom":
+            "SELECT CAST(1000 AS BIGINT) AS n_lines, TRUE AS header_seen, "
+            "CAST(0 AS BIGINT) AS absent_false_positives",
+        "p5_truncate":
+            "SELECT doc_id, substr(text, 1, 77) || '...' AS preview "
+            "FROM documents",
+        "h4_h5_digests":
+            "SELECT c_name, md5(c_name) AS md5_hex, "
+            "sha256(c_name) AS sha256_hex FROM customer "
+            "WHERE c_custkey <= 50",
+        "d1_collision_sweep":
+            "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic",
     }

@@ -14,11 +14,13 @@ from .hashing import derive_h2, hash64_bytes, km_indices, splitmix64, to_u64
 from .hll import HLLSketch
 from .invertible import InvertibleBloomSketch
 from .kll import KLLSketch
+from .multi import MultiSketch
 from .tdigest import TDigest
 
 __all__ = [
     "BloomSketch", "CountingBloomSketch", "CountMinSketch", "CuckooBank",
     "CuckooFilter", "HLLSketch", "InvertibleBloomSketch", "KLLSketch",
-    "TDigest", "bloom_fpr", "optimal_k", "optimal_m", "sketch_from_bytes",
+    "MultiSketch", "TDigest",
+    "bloom_fpr", "optimal_k", "optimal_m", "sketch_from_bytes",
     "hash64_bytes", "km_indices", "splitmix64", "derive_h2", "to_u64",
 ]

@@ -61,6 +61,19 @@ def _u01(ids: np.ndarray, tag: int) -> np.ndarray:
     return _stream(ids, tag).astype(np.float64) / 2.0 ** 64
 
 
+def generate_urls_pdf(ids: np.ndarray) -> pd.DataFrame:
+    """Vectorized url-only batch (same urls as generate_pdf, none of
+    the text/html cost) — for url-sketch benchmarks at large n."""
+    ids = ids.astype(np.int64)
+    is_dup = (_u01(ids, 1) < DUP_FRAC) & (ids > 0)
+    back = (_stream(ids, 2) % _U64(1000)).astype(np.int64) + 1
+    cid = np.where(is_dup, np.maximum(0, ids - back), ids)
+    host_rank = np.searchsorted(_HOST_CDF, _u01(cid, 3))
+    host_str = np.char.mod("https://host%05d.example/p", host_rank)
+    urls = np.char.add(host_str, cid.astype("U"))
+    return pd.DataFrame({"url": urls})
+
+
 def generate_pdf(ids: np.ndarray) -> pd.DataFrame:
     """Vectorized page batch for an int64 id array."""
     ids = ids.astype(np.int64)
@@ -113,3 +126,15 @@ def generate_pages(spark: SparkSession, n: int,
             yield generate_pdf(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def generate_urls(spark: SparkSession, n: int,
+                  partitions: int | None = None) -> DataFrame:
+    """url column only — identical url stream to generate_pages."""
+    rng = spark.range(0, n, numPartitions=partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            yield generate_urls_pdf(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema="url string")

@@ -1,0 +1,93 @@
+"""spark-submit job for the scaling-efficiency evidence.
+
+Modes:
+  --stage N PATH          synthesize N pages, write url column to PATH
+  --run PATH CORES OUT    warm-up + 3 timed sketch jobs, median -> OUT
+
+Submitted by scripts/bench_scaling.py via
+``spark-submit --master local[C] --py-files bloom_filters_spark.zip``
+so each parallelism level gets its own JVM + fresh python workers
+(north_rule: "run via spark-submit --py-files ... at two cluster
+sizes").
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+from bloom_filters_spark.kernels import (
+    BloomSketch, CountMinSketch, HLLSketch, MultiSketch)
+from bloom_filters_spark.operators.agg import build_sketch, probe_membership
+from bloom_filters_spark.sources.pages import generate_urls
+
+
+def get_session(cores: int) -> SparkSession:
+    spark = (SparkSession.builder
+             .master(f"local[{cores}]")
+             .appName(f"scaling_{cores}")
+             .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def sketch_job(spark: SparkSession, path: str) -> int:
+    """North-star single-pass sketch-build job over the url column:
+    HLL (distinct urls) + count-min (per-url frequency) + Bloom
+    seen-before built together in ONE table scan (MultiSketch), then a
+    sampled membership probe.
+
+    One scan → many sketches is the production plan at 10^12 rows (the
+    scan dominates, so serial per-sketch passes waste it), and it keeps
+    the driver-side fixed cost to one job — the benchmark then measures
+    compute scaling rather than Spark job-scheduling overhead. The
+    Bloom capacity is bounded at 4M (a per-shard filter in the 10^12
+    design; partials stay ~4.8MB so Arrow blob transfer stays cheap)."""
+    pages = spark.read.parquet(path)
+    multi, n = build_sketch(
+        pages, "url",
+        lambda: MultiSketch([HLLSketch(13), CountMinSketch(5, 1 << 14),
+                             BloomSketch.from_capacity(4_000_000, 0.01)]))
+    bf = multi[2]
+    sample = pages.limit(200_000)
+    fn = probe_membership(sample, "url", bf).where(~F.col("seen")).count()
+    assert fn == 0, f"false negatives: {fn}"
+    return n
+
+
+def main() -> None:
+    mode = sys.argv[1]
+    if mode == "--stage":
+        n, path = int(sys.argv[2]), sys.argv[3]
+        spark = get_session(32)
+        generate_urls(spark, n, partitions=64).write.parquet(path)
+        spark.stop()
+        return
+    assert mode == "--run"
+    path, cores, out = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    spark = get_session(cores)
+    sketch_job(spark, path)                      # warm-up (JIT + workers)
+    times = []
+    n = 0
+    for _ in range(3):
+        t0 = time.time()
+        n = sketch_job(spark, path)
+        times.append(time.time() - t0)
+    spark.stop()
+    sec = statistics.median(times)
+    with open(out, "w") as f:
+        json.dump({"cores": cores, "sec": round(sec, 2),
+                   "all_secs": [round(t, 2) for t in times],
+                   "docs_per_sec": round(n / sec, 1), "n": n}, f)
+
+
+if __name__ == "__main__":
+    main()
