@@ -115,9 +115,13 @@ def q_kll_quantiles(spark, sf_dir):
 
 
 def q_minhash_neardup(spark, sf_dir):
+    """Word-trigram shingles: on this corpus's small vocabulary, token
+    SETS make most pairs similar (candidate generation goes quadratic
+    — measured 506s at sf0.1); trigram shingles are order-sensitive
+    and sparse, which is also the semantics real dedup pipelines use."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.neardup_minhash(docs, "doc_id", "text",
-                              threshold=0.8).count()
+                              threshold=0.8, shingle=3).count()
 
 
 def q_simhash_neardup(spark, sf_dir):

