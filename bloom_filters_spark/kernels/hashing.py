@@ -96,3 +96,73 @@ def poly_hash(s: str, base: int) -> int:
     for c in s:
         h = (h * base + ord(c)) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_32(data: bytes | str, seed: int = 0) -> int:
+    """MurmurHash3 x86_32 — parity with the reference's H3
+    (Bloom_project/src/hash/HashFunctions.cpp:81-137; seed-0 wrapper
+    :145-150). Spark's built-in ``F.hash()`` is the same function at
+    seed 42 for 4-byte-aligned inputs (Spark deviates on tail bytes —
+    asserted in tests), so the reference's primary hash family is
+    natively available JVM-side; this scalar exists for byte-for-byte
+    parity vectors."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _M32
+    n = len(data)
+    nblocks = n // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i:4 * i + 4], "little")
+        k = (k * c1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    k = 0
+    tail = data[4 * nblocks:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _M32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def sha256_fold(s: str) -> int:
+    """H4 parity: SHA-256 hex digest folded by h = h*271 + ord(c)
+    (Bloom_project/src/hash/HashFunctions.cpp:42-52)."""
+    hexd = hashlib.sha256(s.encode("utf-8")).hexdigest()
+    h = 0
+    for c in hexd:
+        h = (h * 271 + ord(c)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def md5_fold(s: str) -> int:
+    """H5 parity: MD5 hex digest folded by h = h*131 + ord(c)
+    (Bloom_project/src/hash/HashFunctions.cpp:60-70)."""
+    hexd = hashlib.md5(s.encode("utf-8")).hexdigest()
+    h = 0
+    for c in hexd:
+        h = (h * 131 + ord(c)) & 0xFFFFFFFFFFFFFFFF
+    return h
