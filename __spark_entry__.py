@@ -575,6 +575,50 @@ def q_streaming_accumulate(spark, sf_dir):
             "matches_batch boolean, n_rows long")
 
 
+def q_streaming_windowed(spark, sf_dir):
+    """Event-time windowed HLL under Structured Streaming
+    (applyInPandasWithState + watermark): per-day distinct-user
+    sketches over the events stream; n_rows exact per window, estimate
+    within the published bound vs the batch-exact count."""
+    import tempfile
+    import shutil
+    import os
+    import uuid
+    from bloom_filters_spark.streaming import (
+        run_windowed_to_memory, sketch_per_window)
+    ev_path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(ev_path).schema
+    name = f"win_q_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/src"
+        os.makedirs(src)
+        shutil.copy(ev_path, f"{src}/events.parquet")
+        stream = (spark.readStream.schema(schema).parquet(src)
+                  # watermarks need TIMESTAMP (ltz); parquet has NTZ.
+                  # Session TZ is UTC so the cast is value-preserving.
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        windowed = sketch_per_window(stream, "ts", "user_id",
+                                     lambda: HLLSketch(12),
+                                     window="1 day", watermark="1 day")
+        run_windowed_to_memory(windowed, name, f"{td}/cp")
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # update mode: keep the final (largest-n) row per window
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["window_start"])
+        if cur is None or r["n_rows"] > cur["n_rows"]:
+            final[r["window_start"]] = r
+    exact = dict(spark.read.parquet(ev_path)
+                 .groupBy(F.date_trunc("day", "ts").alias("w"))
+                 .agg(F.countDistinct("user_id")).collect())
+    tol = 4 * HLLSketch(12).relative_error + 0.02
+    out = [(w, int(r["n_rows"]),
+            bool(abs(r["estimate"] - exact[w]) / exact[w] <= tol))
+           for w, r in sorted(final.items())]
+    return spark.createDataFrame(
+        out, "window_start timestamp, n_rows long, within_bound boolean")
+
+
 def q_flagship_hll_bloom(spark, sf_dir):
     """EP3 flagship (Bloom_project/src/core/Bloom_project.cpp:4744-4834):
     HLL → leading-order rounding → sized DynBloom → probes, with every
@@ -722,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
         "streaming_accumulate": q_streaming_accumulate,
+        "streaming_windowed": q_streaming_windowed,
         "flagship_hll_bloom": q_flagship_hll_bloom,
         "s6_seeded_users": q_s6_seeded_users,
         "s7_words_fixture": q_s7_words_fixture,
@@ -928,6 +973,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_accumulate":
             "SELECT TRUE AS matches_batch, "
             "(SELECT COUNT(*) FROM documents) AS n_rows",
+        "streaming_windowed":
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
+            "AS window_start, COUNT(*) AS n_rows, TRUE AS within_bound "
+            "FROM events GROUP BY date_trunc('day', ts)",
         "flagship_hll_bloom":
             f"SELECT COUNT(DISTINCT token) AS exact_distinct, "
             f"TRUE AS hll_within_bound, CAST(0 AS BIGINT) AS "
