@@ -78,6 +78,15 @@ def q_pages_bloom_probe(spark, sf_dir):
     return n
 
 
+def q_pages_distinct_hosts(spark, sf_dir):
+    """North-star distinct_hosts over the zipf-skewed host distribution
+    (host00000 alone holds ~7% of rows — the skew the partial-sketch
+    design neutralizes: hot keys never shuffle, only partials do)."""
+    pages = _staged_pages(spark)
+    out = plans.distinct_hosts(pages, p=12)
+    return round(out["estimate"], 1)
+
+
 def q_hll_distinct(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     sk, n = build_sketch(li, "l_orderkey", lambda: HLLSketch(13))
@@ -147,6 +156,7 @@ QUERIES = {
     "pages_generate": q_pages_generate,
     "pages_hll_build": q_pages_hll_build,
     "pages_bloom_probe": q_pages_bloom_probe,
+    "pages_distinct_hosts": q_pages_distinct_hosts,
     "hll_distinct": q_hll_distinct,
     "hll_grouped_hosts": q_hll_grouped_hosts,
     "bloom_seen_before": q_bloom_seen_before,
