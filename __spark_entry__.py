@@ -261,7 +261,7 @@ def q_text_quality(spark, sf_dir):
 def q_cosine_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact, JVM-side dot products)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return dd.cosine_pairs(emb, "vec_id", "embedding", threshold=0.9)
+    return dd.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -908,7 +908,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9""",
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
         "ann_topk":
             """WITH q AS (SELECT vec_id AS query_id,
                           CAST(embedding AS DOUBLE[]) AS qv
