@@ -176,6 +176,11 @@ def main() -> None:
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm-up: spin python workers + JIT so the first measured query
+    # isn't charged for process startup
+    warm = spark.range(100_000).select(F.col("id").alias("k"))
+    build_sketch(warm, "k", lambda: HLLSketch(10))
+
     timings: dict[str, float] = {}
     pages_rate = None
     for name, fn in QUERIES.items():

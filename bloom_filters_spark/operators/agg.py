@@ -98,14 +98,23 @@ def _merge_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def build_sketch(df: DataFrame, col: str, factory: Callable, *,
                  seed: int = 0, value_based: bool = False,
-                 fanin: int = 64, dropna: bool = True):
+                 fanin: int | None = None, dropna: bool = True):
     """Build one sketch over ``df[col]`` → (sketch_object, n_rows).
 
     Plan: pruned scan → [JVM xxhash64] → mapInPandas partials (one row
     per partition) → repartition/merge rounds of fan-in ``fanin`` →
     driver merge of ≤ fanin survivors. One tiny shuffle per tree level;
     the input data itself never shuffles.
+
+    ``fanin=None`` sizes the fan-in from the sketch's serialized size
+    so no merge task (or the final driver collect) ever holds more than
+    ~256MB of partials: 64 for KB-sized sketches (HLL/CMS), smaller for
+    multi-MB Bloom banks — the knob that keeps a 100k-partition build
+    from shipping 100k × 28MB to one place.
     """
+    if fanin is None:
+        probe_size = max(1, factory().size_bytes)
+        fanin = int(min(64, max(2, (256 << 20) // probe_size)))
     src = df.select(F.col(col).alias("__c"))
     if dropna:
         src = src.where(F.col("__c").isNotNull())
