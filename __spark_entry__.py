@@ -419,9 +419,11 @@ def q_cuckoo_contract(spark, sf_dir):
     driver-side filter: delete → lookup drops, survivors still present
     (Bloom_project/src/core/CuckooFilter.hpp:71-168)."""
     parts = _t(spark, sf_dir, "part").select("p_partkey").distinct()
+    # no explicit capacity: the default-1024 seed member auto-grows
+    # (appends same-shaped members) when a partition exceeds it
     bank, _ = build_sketch(
         parts, "p_partkey",
-        lambda: CuckooBank.wrap(CuckooFilter(capacity=8192)))
+        lambda: CuckooBank.wrap(CuckooFilter()))
     probed = probe_membership(parts, "p_partkey", bank)
     bank_misses = probed.where(~F.col("seen")).count()
 

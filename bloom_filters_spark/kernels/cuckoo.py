@@ -66,7 +66,14 @@ class CuckooFilter:
         return int(self._rng_state)
 
     # -- single-item ops (eviction is inherently sequential) ----------------
-    def _insert_one(self, b1: int, fp: int) -> bool:
+    def _insert_or_evict(self, b1: int, fp: int):
+        """Place ``fp``; on success return None. When the kick bound is
+        exceeded, the item's fp HAS been swapped into the table and some
+        victim fingerprint is homeless — return ``(bucket, victim_fp)``
+        so a caller (CuckooBank) can relocate the victim into a fresh
+        same-shaped member without losing it (no false negatives).
+        n_items is unchanged on eviction: one identity swapped, the
+        victim's count moves with it to wherever it is re-homed."""
         b2 = int(self._alt(np.array([b1]), np.array([fp], dtype=np.uint16))[0])
         for b in (b1, b2):
             row = self.table[b]
@@ -74,7 +81,7 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = fp
                 self.n_items += 1
-                return True
+                return None
         # evict: random-walk cuckoo kicks, bounded like the reference
         b = b1 if (self._next_rand() & 1) else b2
         cur = np.uint16(fp)
@@ -88,8 +95,13 @@ class CuckooFilter:
             if empty.size:
                 row[empty[0]] = cur
                 self.n_items += 1
-                return True
-        raise RuntimeError("cuckoo filter full (max kicks exceeded)")
+                return None
+        return (b, int(cur))
+
+    def _insert_one(self, b1: int, fp: int) -> bool:
+        if self._insert_or_evict(b1, fp) is not None:
+            raise RuntimeError("cuckoo filter full (max kicks exceeded)")
+        return True
 
     # -- batch API (hash prep vectorized; placement loop per item) ----------
     def update_hashes(self, h1) -> None:
@@ -152,6 +164,14 @@ class CuckooBank:
     order; probes are order-invariant). Deletions are only valid against
     the member that inserted the key — the bank therefore exposes
     insert/contains; distributed delete goes through CountingBloomSketch.
+
+    AUTO-GROWS: when the active member exceeds its kick bound, a fresh
+    member with the SAME bucket count is appended, the homeless victim
+    fingerprint is relocated into it (bucket indices stay valid because
+    the shapes match), and inserts continue there — so a partition of
+    any size builds without hard-failing, degrading to more members
+    rather than raising (the reference only bounds kicks per filter,
+    CuckooFilter.hpp:183; the bank keeps that per-member bound).
     """
 
     __slots__ = ("members",)
@@ -164,11 +184,26 @@ class CuckooBank:
         return cls([cf])
 
     def update_hashes(self, h1) -> None:
-        """Batch insert into this bank's seed member — the per-partition
-        build path (build_sketch partials insert locally, merge concats)."""
+        """Batch insert into this bank's active (last) member, appending
+        fresh same-shaped members whenever the active one fills — the
+        per-partition build path (build_sketch partials insert locally,
+        merge concats)."""
         if not self.members:
-            self.members.append(CuckooFilter())
-        self.members[0].update_hashes(h1)
+            raise ValueError(
+                "CuckooBank must be seeded via wrap(CuckooFilter(...)) so "
+                "the build's configured capacity is explicit")
+        m = self.members[-1]
+        h = to_u64(np.asarray(h1))
+        fps = _fingerprints(h)
+        b1s = (h % _U64(m.nbuckets)).astype(np.int64)
+        for b1, fp in zip(b1s.tolist(), fps.tolist()):
+            homeless = m._insert_or_evict(b1, fp)
+            if homeless is not None:
+                hb, hfp = homeless
+                fresh = CuckooFilter(table=np.zeros_like(m.table))
+                fresh._insert_one(hb, hfp)   # re-home the victim
+                self.members.append(fresh)
+                m = fresh
 
     def contains_hashes(self, h1) -> np.ndarray:
         h1 = np.asarray(h1)

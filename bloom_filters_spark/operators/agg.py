@@ -29,6 +29,7 @@ Scale notes (the 100 TB design point):
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 from typing import Callable, Iterator
 
 import numpy as np
@@ -111,6 +112,15 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
     ~256MB of partials: 64 for KB-sized sketches (HLL/CMS), smaller for
     multi-MB Bloom banks — the knob that keeps a 100k-partition build
     from shipping 100k × 28MB to one place.
+
+    Limitation: the bound assumes fixed-size merges (OR/max/add), where
+    a merged partial is no bigger than its inputs. For CONCAT-merge
+    sketches (CuckooBank: merge = member-list append) merged partials
+    grow with partition count, so the ~256MB bound holds only for the
+    first merge level; the total bank is P × seed_size regardless of
+    tree shape. For such sketches size the seed filter (or partition
+    count) so P × seed_size fits the driver, or prefer a true-monoid
+    sketch (Bloom/CBF/HLL/CMS) for very high partition counts.
     """
     if fanin is None:
         probe_size = max(1, factory().size_bytes)
@@ -225,15 +235,22 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
 # probes / lookups against a finished sketch
 # --------------------------------------------------------------------------
 
-_BCAST_CACHE: dict = {}
+_BCAST_CACHE: "OrderedDict[bytes, object]" = OrderedDict()
+_BCAST_CACHE_MAX = 8
 
 
 def _cached_sketch(payload: bytes):
     # keyed by the bytes object itself: broadcast.value returns the same
-    # object per worker, so the hash is computed once and the key is exact
+    # object per worker, so the hash is computed once and the key is exact.
+    # Bounded LRU: long-lived python workers serve many probe jobs, so an
+    # unbounded cache of multi-MB deserialized sketches would leak.
     sk = _BCAST_CACHE.get(payload)
     if sk is None:
         sk = _BCAST_CACHE[payload] = sketch_from_bytes(payload)
+    else:
+        _BCAST_CACHE.move_to_end(payload)
+    while len(_BCAST_CACHE) > _BCAST_CACHE_MAX:
+        _BCAST_CACHE.popitem(last=False)
     return sk
 
 

@@ -48,10 +48,16 @@ def shingles_col(text_col: str, n: int = 1):
         return toks
     raw = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.size(raw) - n)
+    # Empty docs yield an EMPTY shingle array (consistent with the n=1
+    # path, which drops them): otherwise two empty docs would share the
+    # '' whole-text shingle and compare as jaccard-1.0 near-dups.
+    # Short-but-nonempty docs keep the whole-text shingle.
     return F.when(F.size(raw) >= n,
                   F.array_distinct(F.transform(idx, lambda i: F.array_join(
                       F.slice(raw, i + 1, n), " ")))
-                  ).otherwise(F.array(F.array_join(raw, " ")))
+                  ).when(F.size(raw) > 0,
+                         F.array(F.array_join(raw, " "))
+                  ).otherwise(F.array().cast("array<string>"))
 
 
 # ----------------------------------------------------------------- exact

@@ -6,10 +6,11 @@ SAME job runs at two parallelism levels on the same staged input, each
 in its OWN spark-submit process (fresh JVM + python workers — stale
 sessions in a shared JVM were measured to distort timings by >10x).
 
-Default levels: local[2] vs local[8] (each local[C] task runs a JVM
-scan thread AND a python kernel worker, so local[8] already occupies
-~16 hardware threads of the ~22-effective-core host). Override with
-SPARK_GRAFT_SCALING_CORES="4,16". Reuse a staged table with
+Default levels: local[1] vs local[4] (each local[C] task runs a JVM
+scan thread AND a python kernel worker, so local[C] occupies ~2C
+hardware threads of the ~22-effective-core host; keeping the 4N level
+small keeps both levels inside real physical cores). Override with
+SPARK_GRAFT_SCALING_CORES="2,8". Reuse a staged table with
 SPARK_GRAFT_SCALING_DATA=/path/to/pages.
 
 Writes BENCH/scaling.json + BENCH/BASELINE.md.
@@ -33,6 +34,9 @@ N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_SCALING_PAGES", "160000000"))
 CORES = tuple(int(c) for c in os.environ.get(
     "SPARK_GRAFT_SCALING_CORES", "1,4").split(","))
+ROUNDS = 2        # alternating A/B rounds per level (best round kept)
+TIMED_REPS = 2    # timed reps inside each round (scaling_job.py median)
+SPLIT_MB = 32     # scaling_job.py spark.sql.files.maxPartitionBytes
 
 
 def make_pyfiles_zip(dest: str) -> str:
@@ -73,7 +77,7 @@ def main() -> None:
     # a lottery on which level hit a slow phase. All rounds are
     # recorded in scaling.json for transparency.
     rounds: dict[int, list[dict]] = {c: [] for c in CORES}
-    for rnd in range(2):
+    for rnd in range(ROUNDS):
         for cores in CORES:
             out = os.path.join(work, f"run{rnd}_{cores}.json")
             print(f"# round {rnd}: sketch job at local[{cores}]...",
@@ -118,9 +122,9 @@ count-min(5x16384) url frequency + Bloom(1M, p=0.01) seen-before, all
 updated in ONE table scan — plus a 200k-row membership probe (zero
 false negatives asserted) over a staged Common-Crawl-shaped pages
 table ({N_PAGES:,} rows, url column, 64 parquet files, read as
-~86 x 16MB splits so no parallelism level suffers wave imbalance).
-Per level:
-fresh spark-submit process, warm-up pass, median of 2 timed runs; three
+{SPLIT_MB}MB splits so no parallelism level suffers wave imbalance).
+Per level: fresh spark-submit process, warm-up pass, median of
+{TIMED_REPS} timed runs; {ROUNDS}
 alternating A/B rounds per level, best round kept (this sandbox VM has
 episodic slow-memory phases — page-fault latency swings 7us->400us for
 minutes — and interleaving + best-of-rounds keeps the comparison
@@ -140,10 +144,10 @@ busy-loop benchmark shows only ~22 cores of real parallel throughput
 (SMT sharing): 8->32 procs scale only 2.9x (hardware ceiling 0.71).
 Each local[C] task additionally runs BOTH a JVM scan thread and a
 python kernel worker, so local[C] occupies ~2C hardware threads.
-local[2] vs local[8] is therefore the honest "N vs 4N executors"
-stand-in whose 4N level (~16 hardware threads) still fits in physical
-cores; on a real multi-node cluster each executor owns its cores and
-neither ceiling applies.
+local[{lo}] vs local[{hi}] is therefore the honest "N vs {ratio}N
+executors" stand-in whose {ratio}N level (~{2 * hi} hardware threads)
+still fits in physical cores; on a real multi-node cluster each
+executor owns its cores and neither ceiling applies.
 
 Why the job scales: the input table never shuffles — each partition
 builds a partial sketch inside mapInPandas and only KB-sized partials

@@ -1,6 +1,8 @@
 """Local stand-in for the driver's correctness gate: run every
 __spark_entry__ query at sf0.01 against its DuckDB oracle and compare
-row count + column names/types + order-insensitive values.
+row count + column names + column TYPES (Spark dtype vs the DuckDB
+relation type, via the _TYPE_MAP equivalence table) + order-insensitive
+stringified values.
 
 Usage: python scripts/validate_entry.py [query ...]
 """
@@ -21,6 +23,40 @@ from bloom_filters_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
+
+
+# Spark dtype → acceptable DuckDB type names. Anything not listed
+# (e.g. DECIMAL vs double) is reported as a type mismatch so that a
+# stricter driver-side schema check cannot fail where this gate passed.
+_TYPE_MAP = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "boolean": {"BOOLEAN"},
+    "string": {"VARCHAR"},
+    "binary": {"BLOB"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
+
+def types_compatible(spark_dtypes, o_names, o_types):
+    """[(name, spark_dtype)] vs duckdb (names, types) → list of problems."""
+    o_by_name = {n: str(t) for n, t in zip(o_names, o_types)}
+    problems = []
+    for name, sdt in spark_dtypes:
+        odt = o_by_name.get(name)
+        if odt is None:
+            continue  # column-name mismatch is reported separately
+        allowed = _TYPE_MAP.get(sdt)
+        if allowed is None:
+            problems.append(f"{name}: unmapped spark type {sdt} (duckdb {odt})")
+        elif odt not in allowed:
+            problems.append(f"{name}: spark {sdt} vs duckdb {odt}")
+    return problems
 
 
 def canon(cols, rows):
@@ -70,17 +106,22 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = list(rel.types)
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
             failures.append(name)
             continue
         sc, sb = canon(scols, srows)
         oc, ob = canon(ocols, orows)
+        type_problems = types_compatible(sdf.dtypes, ocols, otypes)
         if sc != oc:
             print(f"FAIL {name}: columns {sc} vs {oc}")
+            failures.append(name)
+        elif type_problems:
+            print(f"FAIL {name}: dtypes {type_problems}")
             failures.append(name)
         elif len(sb) != len(ob):
             print(f"FAIL {name}: rowcount {len(sb)} vs {len(ob)}")

@@ -166,3 +166,51 @@ def test_partials_equal_single_pass(spark, events):
     one = HLLSketch(12)
     one.update_hashes(np.array([r["h"] for r in hashed], dtype=np.int64))
     assert one.to_bytes() == sk.to_bytes()
+
+
+def test_bcast_cache_bounded_lru():
+    """_cached_sketch keeps at most _BCAST_CACHE_MAX entries, evicting
+    the least-recently-used payload (long-lived worker leak guard)."""
+    from bloom_filters_spark.operators import agg
+
+    from bloom_filters_spark.kernels.hashing import splitmix64
+
+    agg._BCAST_CACHE.clear()
+    payloads = []
+    for i in range(agg._BCAST_CACHE_MAX + 3):
+        sk = HLLSketch(4)
+        sk.update_hashes(splitmix64(
+            np.arange(100 * i, 100 * i + 50, dtype=np.uint64))
+            .view(np.int64))
+        payloads.append(sk.to_bytes())
+        agg._cached_sketch(payloads[-1])
+    assert len(agg._BCAST_CACHE) == agg._BCAST_CACHE_MAX
+    assert payloads[0] not in agg._BCAST_CACHE          # oldest evicted
+    assert payloads[-1] in agg._BCAST_CACHE             # newest kept
+    # a hit refreshes recency: touch the oldest survivor, add one more,
+    # and the survivor must outlive the next eviction
+    survivor = payloads[3]
+    assert survivor in agg._BCAST_CACHE
+    agg._cached_sketch(survivor)
+    sk = HLLSketch(4)
+    sk.update_hashes(splitmix64(
+        np.arange(10_000, 10_050, dtype=np.uint64)).view(np.int64))
+    agg._cached_sketch(sk.to_bytes())
+    assert survivor in agg._BCAST_CACHE
+    agg._BCAST_CACHE.clear()
+
+
+def test_cuckoo_bank_build_1m_keys_default_capacity(spark):
+    """VERDICT r1 item 3 'done' criterion: a >=1M-key distributed bank
+    build with NO explicit capacity (seed member = default 1024) must
+    succeed via auto-growth and keep zero false negatives."""
+    from bloom_filters_spark.kernels import CuckooBank, CuckooFilter
+
+    keys = spark.range(1_000_000).select(F.col("id").alias("k"))
+    bank, n = build_sketch(keys, "k",
+                           lambda: CuckooBank.wrap(CuckooFilter()))
+    assert n == 1_000_000
+    assert len(bank.members) > 1          # growth actually happened
+    sample = keys.sample(0.01, seed=1)
+    probed = probe_membership(sample, "k", bank)
+    assert probed.where(~F.col("seen")).count() == 0
