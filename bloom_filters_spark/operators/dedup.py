@@ -35,6 +35,15 @@ from .textstats import tokens_col
 _MERSENNE = (1 << 61) - 1
 
 
+def _once(col, fn):
+    """Bind ``col``'s value once per row and feed it to ``fn`` — a CSE
+    barrier built from a single-element-array ``transform``: lambda
+    variables are evaluated once, while plain column expressions are
+    re-inlined by Catalyst into EVERY reference (measured 5-15x
+    recompute blowups for the HOF signature expressions below)."""
+    return F.get(F.transform(F.array(col), fn), 0)
+
+
 def shingles_col(text_col: str, n: int = 1):
     """array<string> of distinct word n-gram shingles (n=1 → tokens).
 
@@ -42,22 +51,32 @@ def shingles_col(text_col: str, n: int = 1):
     natural text: token SETS from a small vocabulary make most document
     pairs similar (candidate generation goes quadratic), while n-gram
     shingles are order-sensitive and sparse, so only true near-dups
-    collide."""
-    toks = F.array_distinct(tokens_col(text_col))
-    if n <= 1:
-        return toks
+    collide.
+
+    The token array is bound ONCE through a single-element-array
+    ``transform`` lambda: the n>1 expression references it ~5 times,
+    and without the binding Catalyst inlines the full
+    ``filter(split(trim(lower(text))))`` tokenization into every
+    reference inside the Generate node (measured ~2x the whole
+    signature-stage cost at sf0.1)."""
     raw = tokens_col(text_col)
-    idx = F.sequence(F.lit(0), F.size(raw) - n)
-    # Empty docs yield an EMPTY shingle array (consistent with the n=1
-    # path, which drops them): otherwise two empty docs would share the
-    # '' whole-text shingle and compare as jaccard-1.0 near-dups.
-    # Short-but-nonempty docs keep the whole-text shingle.
-    return F.when(F.size(raw) >= n,
-                  F.array_distinct(F.transform(idx, lambda i: F.array_join(
-                      F.slice(raw, i + 1, n), " ")))
-                  ).when(F.size(raw) > 0,
-                         F.array(F.array_join(raw, " "))
-                  ).otherwise(F.array().cast("array<string>"))
+    if n <= 1:
+        return F.array_distinct(raw)
+
+    def mk(t):
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        # Empty docs yield an EMPTY shingle array (consistent with the
+        # n=1 path, which drops them): otherwise two empty docs would
+        # share the '' whole-text shingle and compare as jaccard-1.0
+        # near-dups. Short-but-nonempty docs keep the whole-text shingle.
+        return (F.when(F.size(t) >= n,
+                       F.array_distinct(F.transform(
+                           idx, lambda i: F.array_join(
+                               F.slice(t, i + 1, n), " "))))
+                .when(F.size(t) > 0, F.array(F.array_join(t, " ")))
+                .otherwise(F.array().cast("array<string>")))
+
+    return _once(raw, mk)
 
 
 # ----------------------------------------------------------------- exact
@@ -83,51 +102,58 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, bands: int = 16,
                        seed: int = 0, shingle: int = 1) -> DataFrame:
-    """→ (id, band, bucket): LSH band buckets from k-permutation MinHash.
+    """→ (id, band, bucket): LSH band buckets from k-hash MinHash.
 
-    Token base hashes are computed JVM-side (xxhash64 over exploded
-    shingles); the (a·h+b mod p) permutation matrix and per-band fold
-    run vectorized in one applyInPandas over (id, [hashes])."""
+    ZERO-SHUFFLE, 100% JVM: the textbook k-independent-hash MinHash
+    ("permutation" j of a token is ``xxhash64(base_hash, j)``), computed
+    per ROW from the shingle array with one higher-order ``aggregate``
+    pass carrying a num_perm-slot running-min accumulator — the
+    signature stage is scan → project, embarrassingly parallel and
+    skew-immune (the previous design exploded tokens and shuffled them
+    through a groupBy into a Python kernel). The per-band fold is
+    ``xxhash64`` over the band's slice of the min array. Empty docs are
+    dropped (no shingles → no signature), matching the explode path."""
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
 
-    exploded = (df.select(F.col(id_col).alias("__id"),
-                          F.explode(shingles_col(text_col, shingle))
-                          .alias("__tok"))
-                .select("__id", F.xxhash64("__tok", F.lit(seed))
-                        .alias("__h")))
-    grouped = exploded.groupBy("__id").agg(
-        F.collect_list("__h").alias("__hs"))
+    def mins_of(h_arr):
+        # num_perm-slot running-min accumulator, one pass over the array
+        return F.aggregate(
+            h_arr,
+            F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_perm),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(F.sequence(F.lit(0), F.lit(num_perm - 1)),
+                            lambda j: F.xxhash64(h, j)),
+                lambda x, y: F.least(x, y)))
 
-    rng = np.random.default_rng(seed + 1)
-    A = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    B = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    def bands_of(m):
+        return F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.slice(m, b * rows + 1, rows))
+                     .alias("bucket"))
+            for b in range(bands)])
 
-    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, bnd, bkt = [], [], []
-            for _id, hs in zip(pdf["__id"], pdf["__hs"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                h = (h % np.uint64(_MERSENNE)).astype(np.uint64)
-                # (num_perm, n) permutations in uint64 mod Mersenne prime
-                perm = (A.astype(np.uint64)[:, None] * h[None, :]
-                        + B.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
-                mins = perm.min(axis=1)                     # (num_perm,)
-                folded = mins.reshape(bands, rows)
-                # fold each band's rows into one bucket id
-                bucket = folded[:, 0].copy()
-                for r in range(1, rows):
-                    bucket = bucket * np.uint64(1_000_003) + folded[:, r]
-                ids.extend([_id] * bands)
-                bnd.extend(range(bands))
-                bkt.extend(bucket.view(np.int64).tolist())
-            yield pd.DataFrame({"id": ids, "band": bnd, "bucket": bkt})
-
-    return grouped.mapInPandas(sig, schema="id long, band int, bucket long")
+    hs = F.transform(shingles_col(text_col, shingle),
+                     lambda t: F.xxhash64(t, F.lit(seed)))
+    # nested _once: hashes evaluated once, min-array evaluated once;
+    # empty docs → null band array → explode drops them (no signature)
+    bb = _once(hs, lambda h: F.when(
+        F.size(h) > 0, _once(mins_of(h), bands_of)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(bb).alias("__bb"))
+            .select("id", F.col("__bb.band").alias("band"),
+                    F.col("__bb.bucket").alias("bucket")))
 
 
 def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (id1 < id2) sharing any band bucket."""
+    """Distinct candidate pairs (id1 < id2) sharing any band bucket.
+
+    The explicit repartition on the join key makes the (identical) two
+    sides of the self-join a ReusedExchange: signatures are computed
+    ONCE and the join runs co-partitioned — without it each side
+    re-evaluates the whole signature scan."""
+    sig_df = sig_df.repartition("band", "bucket")
     a = sig_df.alias("a")
     b = sig_df.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -171,28 +197,55 @@ def neardup_minhash(df: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------- simhash
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        seed: int = 0) -> DataFrame:
-    """64-bit SimHash per doc from JVM token hashes + numpy bit votes."""
-    exploded = (df.select(F.col(id_col).alias("__id"),
-                          F.explode(tokens_col(text_col)).alias("__tok"))
-                .select("__id", F.xxhash64("__tok", F.lit(seed))
-                        .alias("__h")))
-    grouped = exploded.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
+    """64-bit SimHash per doc — ZERO-SHUFFLE, 100% JVM.
 
-    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for hs in pdf["__hs"]:
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sig_bits = np.uint64(0)
-                for b in np.flatnonzero(votes > 0):
-                    sig_bits |= np.uint64(1) << np.uint64(b)
-                out.append(np.int64(sig_bits.astype(np.uint64).view(np.int64)))
-            yield pd.DataFrame({"id": pdf["__id"], "simhash": out})
+    Per-bit vote counts come from one higher-order ``aggregate`` pass
+    over the row's token-hash array with a 64-slot accumulator
+    (``zip_with`` adds each hash's bit vector), so the signature stage
+    is scan → project: no explode, no groupBy, no Python. The majority
+    vote ``2·ones > n`` and power-of-two bit packing are column
+    arithmetic; bit 63's weight is the int64 min value (two's
+    complement). Signatures are bit-identical to the previous
+    numpy-kernel implementation (same base hash, same vote rule); docs
+    with no tokens are dropped, matching the explode path."""
+    def votes_of(h_arr):
+        # 64-slot vote accumulator, one pass over the array.
+        # call_function passes COLUMN shift amounts (the F.shift*
+        # wrappers only take python-int bit counts).
+        return F.aggregate(
+            h_arr, F.array_repeat(F.lit(0).cast("long"), 64),
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda b: F.call_function("shiftrightunsigned", h, b)
+                    .bitwiseAND(F.lit(1).cast("long"))),
+                lambda x, y: x + y))
 
-    return grouped.mapInPandas(sig, schema="id long, simhash long")
+    def sig_of(h):
+        # nested _once: votes bound once; the majority vote 2·ones > n
+        # and power-of-two packing run inside one zip_with + aggregate
+        # so nothing is re-evaluated per bit. shiftleft(1L, 63) is the
+        # int64 min value (two's complement top bit).
+        return _once(votes_of(h), lambda v: F.when(
+            F.size(h) > 0,
+            F.aggregate(
+                F.zip_with(
+                    v, F.sequence(F.lit(0), F.lit(63)),
+                    lambda ones, b: F.when(
+                        ones * 2 > F.size(h),
+                        F.call_function("shiftleft",
+                                        F.lit(1).cast("long"), b))
+                    .otherwise(F.lit(0).cast("long"))),
+                F.lit(0).cast("long"), lambda s, x: s + x)))
+
+    hs = F.transform(tokens_col(text_col),
+                     lambda t: F.xxhash64(t, F.lit(seed)))
+    # empty docs → null simhash → filtered (matching the old explode
+    # path, which dropped token-less docs)
+    return (df.select(F.col(id_col).alias("id"),
+                      _once(hs, sig_of).alias("simhash"))
+            .where(F.col("simhash").isNotNull()))
 
 
 def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
@@ -207,26 +260,35 @@ def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
     assert max_hamming < chunks <= 64 and 64 % chunks == 0
     width = 64 // chunks
     sig = simhash_signatures(df, id_col, text_col, seed)
-    parts = sig.select(
-        "id", "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("chunk"),
-                     F.shiftrightunsigned(F.col("simhash"), c * width)
-                     .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
-            for c in range(chunks)])).alias("b")
-    ).select("id", "simhash", F.col("b.chunk"), F.col("b.val"))
+    # bind the signature once and explode (chunk, val, sig) structs:
+    # referencing the simhash column per chunk would re-inline the
+    # whole HOF signature expression into every chunk (Catalyst
+    # collapses projections; no CSE for interpreted HOFs)
+    chunk_structs = _once(F.col("simhash"), lambda s: F.array(*[
+        F.struct(F.lit(c).alias("chunk"),
+                 F.shiftrightunsigned(s, c * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                 s.alias("sig"))
+        for c in range(chunks)]))
+    parts = (sig.select("id", F.explode(chunk_structs).alias("b"))
+             .select("id", F.col("b.sig").alias("simhash"),
+                     F.col("b.chunk").alias("chunk"),
+                     F.col("b.val").alias("val"))
+             # one signature eval + co-partitioned self-join via
+             # ReusedExchange (see lsh_candidate_pairs)
+             .repartition("chunk", "val"))
     a, b = parts.alias("a"), parts.alias("b")
-    cands = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-                    & (F.col("a.val") == F.col("b.val"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
-                     F.col("a.simhash").alias("s1"),
-                     F.col("b.simhash").alias("s2"))
-             .distinct())
-    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
-    return (cands.withColumn("hamming", ham)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id1", "id2", "hamming"))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # exact hamming verification INSIDE the join condition: the
+    # distinct then dedups only qualifying (id1, id2, hamming) rows
+    # instead of shuffling every bucket collision with both signatures
+    return (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.val") == F.col("b.val"))
+                   & (F.col("a.id") < F.col("b.id"))
+                   & (ham <= max_hamming))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                    ham.alias("hamming"))
+            .distinct())
 
 
 # ------------------------------------------------------ exact ngram jaccard
