@@ -499,6 +499,43 @@ def q_simhash_complete(spark, sf_dir):
     return spark.createDataFrame([(int(mism),)], "mismatches long")
 
 
+def q_lsh_bucket_caps(spark, sf_dir):
+    """Hot-bucket scale guard (VERDICT r1 item 1): 3000 identical docs
+    appended to the corpus form one degenerate LSH bucket per band
+    (~4.5M candidate pairs uncapped). With bucket_cap=512:
+    - no hot pair survives candidate generation (minhash AND simhash);
+    - every exact jaccard>=0.8 pair of the ORIGINAL corpus is still
+      found (the cap exceeds the corpus's largest true near-dup
+      cluster, ~300 docs — the cap-choice rule at scale);
+    - the dropped buckets are accounted (>=1 per band ⇒ >= 32)."""
+    cap = 512
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hot = spark.range(3000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("hot boilerplate navigation footer copyright terms "
+              "privacy contact about").alias("text"))
+    both = docs.unionByName(hot)
+    mh = dd.neardup_minhash(both, "doc_id", "text", threshold=0.8,
+                            num_perm=128, bands=32,
+                            bucket_cap=cap).select("id1", "id2")
+    is_hot = (F.col("id1") >= 10_000_000) | (F.col("id2") >= 10_000_000)
+    mh_hot = mh.where(is_hot).count()
+    base_exact = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
+                                        threshold=0.8).select("id1", "id2")
+    mh_missing = base_exact.join(mh, ["id1", "id2"], "left_anti").count()
+    sig = dd.minhash_signatures(both, "doc_id", "text", 128, 32)
+    stats = dd.lsh_bucket_stats(sig, cap).first()
+    sh = dd.neardup_simhash(both, "doc_id", "text", max_hamming=7,
+                            chunks=8, bucket_cap=cap).select("id1", "id2")
+    sh_hot = sh.where(is_hot).count()
+    return spark.createDataFrame(
+        [(int(mh_hot), int(mh_missing),
+          bool(stats["n_capped_buckets"] >= 32),
+          int(stats["n_rows_in_capped"] > 0), int(sh_hot))],
+        "mh_hot_pairs long, mh_missing_base long, caps_accounted boolean, "
+        "capped_rows_reported long, sh_hot_pairs long")
+
+
 def q_checkpoint_resume(spark, sf_dir):
     """north_rule resume: kill after 5/16 shards → resume → final sketch
     byte-identical to an uninterrupted build (content-addressed shards
@@ -763,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collision_metrics": q_collision_metrics,
         "minhash_vs_exact": q_minhash_vs_exact,
         "simhash_complete": q_simhash_complete,
+        "lsh_bucket_caps": q_lsh_bucket_caps,
         "checkpoint_resume": q_checkpoint_resume,
         "pages_invariant": q_pages_invariant,
         "multimodal_frames": q_multimodal_frames,
@@ -958,6 +996,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra",
         "simhash_complete":
             "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "lsh_bucket_caps":
+            "SELECT CAST(0 AS BIGINT) AS mh_hot_pairs, "
+            "CAST(0 AS BIGINT) AS mh_missing_base, "
+            "TRUE AS caps_accounted, "
+            "CAST(1 AS BIGINT) AS capped_rows_reported, "
+            "CAST(0 AS BIGINT) AS sh_hot_pairs",
         "checkpoint_resume":
             "SELECT TRUE AS byte_identical, "
             "(SELECT COUNT(*) FROM events) AS n_rows, "

@@ -146,14 +146,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                     F.col("__bb.bucket").alias("bucket")))
 
 
-def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig_df: DataFrame,
+                        bucket_cap: int | None = None) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing any band bucket.
+
+    ``bucket_cap`` drops buckets holding more than that many docs
+    before the self-join — the 100 TB guard: one degenerate hot bucket
+    (boilerplate pages, identical docs) otherwise makes candidate
+    generation quadratic in bucket size. Dropping a bucket can only
+    LOSE recall for pairs whose every shared bucket is hot; use
+    ``lsh_bucket_stats`` on the same signature DataFrame to account for
+    what was dropped.
 
     The explicit repartition on the join key makes the (identical) two
     sides of the self-join a ReusedExchange: signatures are computed
     ONCE and the join runs co-partitioned — without it each side
-    re-evaluates the whole signature scan."""
+    re-evaluates the whole signature scan. The cap's groupBy and
+    semi-join reuse the same partitioning (no extra shuffle)."""
     sig_df = sig_df.repartition("band", "bucket")
+    if bucket_cap is not None:
+        small = (sig_df.groupBy("band", "bucket")
+                 .agg(F.count("*").alias("__bsz"))
+                 .where(F.col("__bsz") <= bucket_cap)
+                 .select("band", "bucket"))
+        sig_df = sig_df.join(small, ["band", "bucket"], "left_semi")
     a = sig_df.alias("a")
     b = sig_df.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -161,6 +177,22 @@ def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
             .distinct())
+
+
+def lsh_bucket_stats(sig_df: DataFrame, bucket_cap: int,
+                     cols: tuple = ("band", "bucket")) -> DataFrame:
+    """Recall accounting for a capped candidate join: one row with
+    (n_buckets, n_capped_buckets, n_rows_in_capped) so a pipeline can
+    log exactly how much potential recall the cap sacrificed."""
+    sizes = sig_df.groupBy(*[F.col(c) for c in cols]).agg(
+        F.count("*").alias("__n"))
+    over = F.col("__n") > bucket_cap
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(over, 1).otherwise(0)).cast("long")
+        .alias("n_capped_buckets"),
+        F.sum(F.when(over, F.col("__n")).otherwise(0)).cast("long")
+        .alias("n_rows_in_capped"))
 
 
 def verify_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
@@ -184,12 +216,14 @@ def verify_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
 def neardup_minhash(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", threshold: float = 0.8,
                     num_perm: int = 64, bands: int = 16,
-                    seed: int = 0, shingle: int = 1) -> DataFrame:
+                    seed: int = 0, shingle: int = 1,
+                    bucket_cap: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup pairs, exactly verified. → (id1, id2, jaccard).
-    Candidate generation and exact verification use the SAME shingling."""
+    Candidate generation and exact verification use the SAME shingling.
+    ``bucket_cap`` bounds hot-bucket blowup (see lsh_candidate_pairs)."""
     sig = minhash_signatures(df, id_col, text_col, num_perm, bands, seed,
                              shingle=shingle)
-    cands = lsh_candidate_pairs(sig)
+    cands = lsh_candidate_pairs(sig, bucket_cap=bucket_cap)
     return verify_jaccard(df, cands, id_col, text_col, threshold,
                           shingle=shingle)
 
@@ -250,13 +284,20 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", max_hamming: int = 7,
-                    chunks: int = 8, seed: int = 0) -> DataFrame:
+                    chunks: int = 8, seed: int = 0,
+                    bucket_cap: int | None = None) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits.
 
     Banding into ``chunks`` equal bit-chunks is pigeonhole-COMPLETE for
     hamming < chunks: any qualifying pair shares at least one exact
     chunk, so recall is 1.0 (unlike MinHash-LSH). Verification computes
-    the exact hamming distance with F.bit_count (JVM-side)."""
+    the exact hamming distance with F.bit_count (JVM-side).
+
+    ``bucket_cap`` drops (chunk, val) buckets above the cap before the
+    self-join — the hot-bucket scale guard. NOTE it voids the
+    pigeonhole completeness guarantee for pairs whose only shared chunk
+    was a capped bucket; use ``lsh_bucket_stats`` on the exploded
+    (chunk, val) rows to account for the loss."""
     assert max_hamming < chunks <= 64 and 64 % chunks == 0
     width = 64 // chunks
     sig = simhash_signatures(df, id_col, text_col, seed)
@@ -277,6 +318,12 @@ def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
              # one signature eval + co-partitioned self-join via
              # ReusedExchange (see lsh_candidate_pairs)
              .repartition("chunk", "val"))
+    if bucket_cap is not None:
+        small = (parts.groupBy("chunk", "val")
+                 .agg(F.count("*").alias("__bsz"))
+                 .where(F.col("__bsz") <= bucket_cap)
+                 .select("chunk", "val"))
+        parts = parts.join(small, ["chunk", "val"], "left_semi")
     a, b = parts.alias("a"), parts.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # exact hamming verification INSIDE the join condition: the

@@ -168,3 +168,37 @@ def test_collision_metrics_vs_bruteforce(spark):
     ab = absolute_collisions(df, "v", k, m).first()[0]
     sigs, scnt = np.unique(idx, axis=0, return_counts=True)
     assert ab == int((scnt * (scnt - 1) // 2).sum())
+
+
+def test_lsh_bucket_cap_and_stats(spark):
+    """bucket_cap drops a degenerate hot bucket (identical docs) from
+    candidate generation while distinct near-dups are still found, and
+    lsh_bucket_stats accounts for what was dropped."""
+    from bloom_filters_spark.operators.dedup import (
+        lsh_bucket_stats, minhash_signatures)
+
+    normal = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words about spark sketches here now"),
+    ]
+    hot = [(100 + i, "boilerplate footer navigation copyright terms")
+           for i in range(50)]
+    df = spark.createDataFrame(normal + hot, "doc_id long, text string")
+
+    uncapped = neardup_minhash(df, threshold=0.8, num_perm=64, bands=32)
+    assert uncapped.where("id1 >= 100").count() == 50 * 49 // 2
+
+    capped = neardup_minhash(df, threshold=0.8, num_perm=64, bands=32,
+                             bucket_cap=10)
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    assert not any(i >= 100 for p in got for i in p)   # hot pairs dropped
+    assert (0, 1) in got                               # real near-dup kept
+
+    sig = minhash_signatures(df, "doc_id", "text", 64, 32)
+    stats = lsh_bucket_stats(sig, 10).first()
+    assert stats["n_capped_buckets"] >= 32             # >=1 per band
+    assert stats["n_rows_in_capped"] >= 50 * 32
+
+    sim_capped = neardup_simhash(df, max_hamming=7, chunks=8, bucket_cap=10)
+    assert sim_capped.where("id1 >= 100 or id2 >= 100").count() == 0
