@@ -379,11 +379,25 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # ------------------------------------------------------- embedding cosine
 def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 threshold: float = 0.95) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (id1 < id2, cos ≥ t).
+                 threshold: float = 0.95, *,
+                 exact: bool | None = None,
+                 max_exact_rows: int = 20_000,
+                 n_planes: int = 12, n_tables: int = 6,
+                 seed: int = 0) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id1 < id2, cos ≥ t).
 
-    Dot products via F.zip_with + F.aggregate — stays JVM-side. This is
-    the O(n²) baseline; the scale path is similarity.ann_lsh buckets."""
+    Default routing (``exact=None``): inputs up to ``max_exact_rows``
+    use the exact O(n²) broadcast-nested-loop baseline; larger inputs
+    go through hyperplane-LSH bucket candidates with exact cosine
+    verification (``cosine_pairs_lsh``) — so the operator a user gets
+    by default never plans an O(n²) join at scale. Pass ``exact=True``
+    to force the baseline (oracle/parity use)."""
+    if exact is None:
+        exact = df.limit(max_exact_rows + 1).count() <= max_exact_rows
+    if not exact:
+        return cosine_pairs_lsh(df, id_col, vec_col, threshold,
+                                n_planes=n_planes, n_tables=n_tables,
+                                seed=seed)
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x))
     base = df.select(F.col(id_col).alias("id"),
@@ -400,3 +414,57 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
             .where(F.col("cosine") >= threshold)
             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
                     "cosine"))
+
+
+def cosine_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     threshold: float = 0.95, *,
+                     n_planes: int = 12, n_tables: int = 6,
+                     seed: int = 0,
+                     bucket_cap: int | None = None) -> DataFrame:
+    """Approximate cosine near-dup pairs: random-hyperplane buckets →
+    candidate self-join → EXACT cosine verification (precision 1.0;
+    recall follows the (1−θ/π)^planes-per-table curve, tunable via
+    n_planes/n_tables). The scale path behind ``cosine_pairs``."""
+    from .similarity import hyperplane_signatures
+
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], "id1 long, id2 long, cosine double")
+    sig = (hyperplane_signatures(df, int(dim_row["d"]), id_col=id_col,
+                                 vec_col=vec_col, n_planes=n_planes,
+                                 n_tables=n_tables, seed=seed)
+           .repartition("table", "bucket"))
+    if bucket_cap is not None:
+        small = (sig.groupBy("table", "bucket")
+                 .agg(F.count("*").alias("__bsz"))
+                 .where(F.col("__bsz") <= bucket_cap)
+                 .select("table", "bucket"))
+        sig = sig.join(small, ["table", "bucket"], "left_semi")
+    a, b = sig.alias("a"), sig.alias("b")
+    cands = (a.join(b, (F.col("a.table") == F.col("b.table"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .distinct())
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+    vecs = df.select(F.col(id_col).alias("vid"),
+                     F.col(vec_col).alias("vv"), norm.alias("vn")) \
+             .where(F.col("vn") > 0)
+    j = (cands
+         .join(vecs.withColumnRenamed("vid", "id1")
+               .withColumnRenamed("vv", "v1")
+               .withColumnRenamed("vn", "n1"), "id1")
+         .join(vecs.withColumnRenamed("vid", "id2")
+               .withColumnRenamed("vv", "v2")
+               .withColumnRenamed("vn", "n2"), "id2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (j.withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")),
+                                           6))
+            .where(F.col("cosine") >= threshold)
+            .select("id1", "id2", "cosine"))

@@ -202,3 +202,33 @@ def test_lsh_bucket_cap_and_stats(spark):
 
     sim_capped = neardup_simhash(df, max_hamming=7, chunks=8, bucket_cap=10)
     assert sim_capped.where("id1 >= 100 or id2 >= 100").count() == 0
+
+
+def test_cosine_pairs_routes_to_lsh(spark):
+    """cosine_pairs defaults to the exact path under max_exact_rows and
+    the LSH path above it; planted same-direction pairs (cos = 1.0) are
+    found by both paths, with no false positives vs exact."""
+    from bloom_filters_spark.operators.dedup import cosine_pairs_lsh
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in 2.0 * v]))  # cos = 1.0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = cosine_pairs(df, threshold=0.999, exact=True)
+    expect = {(r["id1"], r["id2"]) for r in exact.collect()}
+    assert all((b - a) == 1 and a % 2 == 0 for a, b in expect)
+    assert len(expect) == 60
+
+    lsh = cosine_pairs_lsh(df, threshold=0.999, n_planes=8, n_tables=6)
+    got = {(r["id1"], r["id2"]) for r in lsh.collect()}
+    assert got <= expect            # exact verification → no false positives
+    assert got == expect            # identical directions always collide
+
+    # routing: above the row threshold the default path is LSH
+    routed = cosine_pairs(df, threshold=0.999, max_exact_rows=10)
+    got_routed = {(r["id1"], r["id2"]) for r in routed.collect()}
+    assert got_routed == expect
