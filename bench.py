@@ -133,6 +133,16 @@ def q_minhash_neardup(spark, sf_dir):
                               threshold=0.8, shingle=3).count()
 
 
+def q_ngram_jaccard_guarded(spark, sf_dir):
+    """EXACT trigram-jaccard pairs with the df_cut stopword guard: on
+    this corpus's tiny vocabulary an UNguarded unigram inverted index
+    joins ~31 ubiquitous tokens x ~4000 docs each (~250M pairs);
+    trigram shingles + df_cut bound the per-shingle join fan-out."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                  threshold=0.8, df_cut=1000).count()
+
+
 def q_simhash_neardup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dd.neardup_simhash(docs, "doc_id", "text", max_hamming=7,
@@ -163,6 +173,7 @@ QUERIES = {
     "cms_heavy_tokens": q_cms_heavy_tokens,
     "kll_quantiles": q_kll_quantiles,
     "minhash_neardup": q_minhash_neardup,
+    "ngram_jaccard_guarded": q_ngram_jaccard_guarded,
     "simhash_neardup": q_simhash_neardup,
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
