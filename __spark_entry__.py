@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from bloom_filters_spark.kernels import (
     BloomSketch, CountingBloomSketch, CountMinSketch, CuckooBank,
     CuckooFilter, HLLSketch, InvertibleBloomSketch, KLLSketch, TDigest,
+    ThetaSketch,
 )
 from bloom_filters_spark.operators.agg import (
     build_grouped_sketches, build_sketch, cms_lookup, estimate_grouped,
@@ -462,6 +463,42 @@ def q_collision_metrics(spark, sf_dir):
     return spark.createDataFrame([(bool(ok),)], "ok boolean")
 
 
+def q_theta_set_ops(spark, sf_dir):
+    """Theta sketch (KMV) set-operation estimates vs exact
+    INTERSECT/EXCEPT counts over order keys vs lineitem order keys (an
+    asymmetric overlap in this testdata: 257 of 15000 orders have no
+    lineitems at sf0.01). k=4096 < 15000 forces estimation mode; union
+    tolerance is the published 1/sqrt(k-1) RSE x4, intersection /
+    difference scale by sqrt(union/target) per the standard theta
+    error model."""
+    cust = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"))
+    ordc = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"))
+    a, _ = build_sketch(cust, "k", lambda: ThetaSketch(4096))
+    b, _ = build_sketch(ordc, "k", lambda: ThetaSketch(4096))
+    da, db = cust.distinct(), ordc.distinct()
+    exact_union = da.unionByName(db).distinct().count()
+    exact_inter = da.join(db, "k").count()
+    exact_diff = da.join(db, "k", "left_anti").count()
+    tol_u = 4 * a.relative_error + 0.01
+    union_ok = (abs(a.union_estimate(b) - exact_union) / exact_union
+                <= tol_u)
+    tol_i = (4 * math.sqrt(exact_union / exact_inter) / math.sqrt(a.k)
+             + 0.01)
+    inter_ok = (abs(a.intersect_estimate(b) - exact_inter) / exact_inter
+                <= tol_i)
+    tol_d = (4 * math.sqrt(exact_union / exact_diff) / math.sqrt(a.k)
+             + 0.01)
+    diff_ok = (abs(a.difference_estimate(b) - exact_diff) / exact_diff
+               <= tol_d)
+    return spark.createDataFrame(
+        [(int(exact_union), bool(union_ok), int(exact_inter),
+          bool(inter_ok), int(exact_diff), bool(diff_ok))],
+        "exact_union long, union_ok boolean, exact_inter long, "
+        "inter_ok boolean, exact_diff long, diff_ok boolean")
+
+
 def q_minhash_vs_exact(spark, sf_dir):
     """MinHash-LSH (128 perms / 32 bands) vs exact Jaccard ≥ 0.8:
     verification makes precision exact; banding makes the per-pair miss
@@ -795,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_contract": q_cuckoo_contract,
         "ibf_recover": q_ibf_recover,
         "collision_metrics": q_collision_metrics,
+        "theta_set_ops": q_theta_set_ops,
         "minhash_vs_exact": q_minhash_vs_exact,
         "simhash_complete": q_simhash_complete,
         "lsh_bucket_caps": q_lsh_bucket_caps,
@@ -1009,6 +1047,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey <= 200",
         "collision_metrics":
             "SELECT TRUE AS ok",
+        "theta_set_ops":
+            "SELECT (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders "
+            "UNION SELECT l_orderkey FROM lineitem)) AS exact_union, "
+            "TRUE AS union_ok, "
+            "(SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders "
+            "INTERSECT SELECT DISTINCT l_orderkey FROM lineitem)) "
+            "AS exact_inter, TRUE AS inter_ok, "
+            "(SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders "
+            "EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)) "
+            "AS exact_diff, TRUE AS diff_ok",
         "minhash_vs_exact":
             "SELECT CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra",
         "simhash_complete":

@@ -16,11 +16,12 @@ from .invertible import InvertibleBloomSketch
 from .kll import KLLSketch
 from .multi import MultiSketch
 from .tdigest import TDigest
+from .theta import ThetaSketch
 
 __all__ = [
     "BloomSketch", "CountingBloomSketch", "CountMinSketch", "CuckooBank",
     "CuckooFilter", "HLLSketch", "InvertibleBloomSketch", "KLLSketch",
-    "MultiSketch", "TDigest",
+    "MultiSketch", "TDigest", "ThetaSketch",
     "bloom_fpr", "optimal_k", "optimal_m", "sketch_from_bytes",
     "hash64_bytes", "km_indices", "splitmix64", "derive_h2", "to_u64",
 ]

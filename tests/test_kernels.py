@@ -384,3 +384,69 @@ def test_merge_order_invariance_property():
         for i in order[1:]:
             m2 = m2.merge(parts[i])
         assert m1.to_bytes() == m2.to_bytes(), type(m1).__name__
+
+
+# ----------------------------------------------------------------- theta
+def test_theta_exact_mode_below_k():
+    from bloom_filters_spark.kernels import ThetaSketch
+    sk = ThetaSketch(k=256)
+    h = rand_hashes(100, seed=30)
+    sk.update_hashes(h)
+    sk.update_hashes(h)                      # idempotent on duplicates
+    assert sk.estimate() == float(np.unique(h).size)
+
+
+def test_theta_estimate_within_bound():
+    from bloom_filters_spark.kernels import ThetaSketch
+    n = 200_000
+    sk = ThetaSketch(k=1024)
+    sk.update_hashes(rand_hashes(n, seed=31))
+    exact = np.unique(rand_hashes(n, seed=31)).size
+    assert abs(sk.estimate() - exact) / exact <= 4 * sk.relative_error
+
+
+def test_theta_merge_associative_byte_identical():
+    from bloom_filters_spark.kernels import ThetaSketch, sketch_from_bytes
+    h = rand_hashes(50_000, seed=32)
+    parts = []
+    for i in range(5):
+        sk = ThetaSketch(k=512)
+        sk.update_hashes(h[i::5])
+        parts.append(sk)
+    fwd = parts[0]
+    for p in parts[1:]:
+        fwd = fwd.merge(p)
+    rev = parts[4]
+    for p in reversed(parts[:4]):
+        rev = rev.merge(p)
+    shuffled = parts[2].merge(parts[0]).merge(parts[4]) \
+        .merge(parts[1].merge(parts[3]))
+    assert fwd.to_bytes() == rev.to_bytes() == shuffled.to_bytes()
+    one = ThetaSketch(k=512)
+    one.update_hashes(h)
+    assert one.to_bytes() == fwd.to_bytes()
+    rt = sketch_from_bytes(fwd.to_bytes())
+    assert rt.estimate() == fwd.estimate()
+
+
+def test_theta_set_operations_vs_exact():
+    from bloom_filters_spark.kernels import ThetaSketch
+    # A = [0, 60k), B = [40k, 100k) as hashed key spaces
+    ha = rand_hashes(60_000, seed=33)
+    hb = np.concatenate([ha[40_000:], rand_hashes(40_000, seed=34)])
+    a, b = ThetaSketch(k=2048), ThetaSketch(k=2048)
+    a.update_hashes(ha)
+    b.update_hashes(hb)
+    exact_a = np.unique(ha).size
+    exact_b = np.unique(hb).size
+    exact_inter = np.intersect1d(
+        ha.view(np.uint64), hb.view(np.uint64)).size
+    exact_union = np.union1d(ha.view(np.uint64), hb.view(np.uint64)).size
+    tol_u = 4 * a.relative_error
+    assert abs(a.union_estimate(b) - exact_union) / exact_union <= tol_u
+    # intersection/difference error scales with union/target ratio
+    tol_i = 4 * math.sqrt(exact_union / exact_inter) / math.sqrt(a.k)
+    assert abs(a.intersect_estimate(b) - exact_inter) / exact_inter <= tol_i
+    exact_diff = exact_a - exact_inter
+    tol_d = 4 * math.sqrt(exact_union / exact_diff) / math.sqrt(a.k)
+    assert abs(a.difference_estimate(b) - exact_diff) / exact_diff <= tol_d
