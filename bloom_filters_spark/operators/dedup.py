@@ -261,25 +261,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
         # and power-of-two packing run inside one zip_with + aggregate
         # so nothing is re-evaluated per bit. shiftleft(1L, 63) is the
         # int64 min value (two's complement top bit).
-        return _once(votes_of(h), lambda v: F.when(
-            F.size(h) > 0,
-            F.aggregate(
-                F.zip_with(
-                    v, F.sequence(F.lit(0), F.lit(63)),
-                    lambda ones, b: F.when(
-                        ones * 2 > F.size(h),
-                        F.call_function("shiftleft",
-                                        F.lit(1).cast("long"), b))
-                    .otherwise(F.lit(0).cast("long"))),
-                F.lit(0).cast("long"), lambda s, x: s + x)))
+        return _once(votes_of(h), lambda v: F.aggregate(
+            F.zip_with(
+                v, F.sequence(F.lit(0), F.lit(63)),
+                lambda ones, b: F.when(
+                    ones * 2 > F.size(h),
+                    F.call_function("shiftleft",
+                                    F.lit(1).cast("long"), b))
+                .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda s, x: s + x))
 
     hs = F.transform(tokens_col(text_col),
                      lambda t: F.xxhash64(t, F.lit(seed)))
-    # empty docs → null simhash → filtered (matching the old explode
-    # path, which dropped token-less docs)
-    return (df.select(F.col(id_col).alias("id"),
-                      _once(hs, sig_of).alias("simhash"))
-            .where(F.col("simhash").isNotNull()))
+    # drop token-less docs (matching the old explode path) with a CHEAP
+    # predicate — filtering on the signature column would re-inline the
+    # whole HOF expression into the filter (2x eval per row)
+    return (df.where(F.size(tokens_col(text_col)) > 0)
+            .select(F.col(id_col).alias("id"),
+                    _once(hs, sig_of).alias("simhash")))
 
 
 def neardup_simhash(df: DataFrame, id_col: str = "doc_id",

@@ -14,7 +14,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..kernels import (BloomSketch, CountMinSketch, HLLSketch, KLLSketch)
+from ..kernels import (BloomSketch, CountMinSketch, HLLSketch, KLLSketch,
+                       MultiSketch)
 from ..operators.agg import build_sketch, cms_lookup, probe_membership
 from ..operators.relational import top_k_by_count
 from ..operators.textstats import tokenize
@@ -50,6 +51,31 @@ def seen_before(history: DataFrame, incoming: DataFrame, col: str = "url",
     bf, _ = build_sketch(history, col,
                          lambda: BloomSketch.from_capacity(capacity, p))
     return probe_membership(incoming, col, bf, out_col="seen_before")
+
+
+def seen_before_onepass(history: DataFrame, incoming: DataFrame,
+                        col: str = "url", p: float = 0.01,
+                        hll_p: int = 13) -> dict:
+    """ONE-scan seen-before: HLL + Bloom built together (MultiSketch).
+
+    ``seen_before`` spends a scan on HLL sizing before the Bloom scan;
+    here the Bloom capacity comes from the table ROW COUNT — an upper
+    bound on NDV that columnar sources (parquet/Iceberg) answer from
+    footer metadata without scanning data — so the whole build is one
+    pass, and the HLL rides along in the same pass for reporting and
+    post-hoc sizing validation. Cost of the bound: the bit array is
+    oversized by the duplicate ratio (rows/NDV); at scale that trade
+    (memory for a full scan) is nearly always right.
+    → dict(seen DataFrame, hll, bloom, n_rows)."""
+    n_upper = max(1024, history.count())
+    multi, n = build_sketch(
+        history, col,
+        lambda: MultiSketch([HLLSketch(hll_p),
+                             BloomSketch.from_capacity(n_upper, p)]))
+    probed = probe_membership(incoming, col, multi[1],
+                              out_col="seen_before")
+    return {"seen": probed, "hll": multi[0], "bloom": multi[1],
+            "n_rows": n}
 
 
 def heavy_hitter_tokens(df: DataFrame, text_col: str = "text", k: int = 20,
