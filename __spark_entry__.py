@@ -436,6 +436,29 @@ def q_cuckoo_contract(spark, sf_dir):
         "bank_misses long, insert_misses long, survivors_missing long")
 
 
+def q_sharded_bloom(spark, sf_dir):
+    """Hash-range-sharded seen-before filter (the 10^12-key design: a
+    single 1.2TB Bloom cannot broadcast or merge; shards are a
+    DataFrame of (shard, payload) probed via co-partitioned join).
+    Contract: zero false negatives over every built key; observed FPR
+    on 20k disjoint keys ≤ 2·p."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, probe_sharded)
+    keys = _t(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    shards = build_sharded(keys, "o_orderkey", n_shards=16, p=0.01)
+    shards = shards.cache()
+    n_shards = shards.count()
+    fn = probe_sharded(keys, "o_orderkey", shards) \
+        .where(~F.col("seen")).count()
+    absent = spark.range(50_000_000, 50_020_000).select(
+        F.col("id").alias("o_orderkey"))
+    fp = probe_sharded(absent, "o_orderkey", shards).where("seen").count()
+    shards.unpersist()
+    return spark.createDataFrame(
+        [(int(n_shards == 16), int(fn), bool(fp / 20_000 <= 0.02))],
+        "all_shards_built long, false_negatives long, fpr_ok boolean")
+
+
 def q_ibf_recover(spark, sf_dir):
     """K9/K10: IBF getAllValues — peel the merged IBF and join recovered
     key hashes back to the source (all 200 names recovered)
@@ -830,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantile_bounds": q_tdigest_quantile_bounds,
         "counting_bloom_delete": q_counting_bloom_delete,
         "cuckoo_contract": q_cuckoo_contract,
+        "sharded_bloom": q_sharded_bloom,
         "ibf_recover": q_ibf_recover,
         "collision_metrics": q_collision_metrics,
         "theta_set_ops": q_theta_set_ops,
@@ -1042,6 +1066,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS bank_misses, "
             "CAST(0 AS BIGINT) AS insert_misses, "
             "CAST(0 AS BIGINT) AS survivors_missing",
+        "sharded_bloom":
+            "SELECT CAST(1 AS BIGINT) AS all_shards_built, "
+            "CAST(0 AS BIGINT) AS false_negatives, TRUE AS fpr_ok",
         "ibf_recover":
             "SELECT COUNT(DISTINCT c_name) AS n_recovered FROM customer "
             "WHERE c_custkey <= 200",

@@ -214,3 +214,28 @@ def test_cuckoo_bank_build_1m_keys_default_capacity(spark):
     sample = keys.sample(0.01, seed=1)
     probed = probe_membership(sample, "k", bank)
     assert probed.where(~F.col("seen")).count() == 0
+
+
+def test_sharded_bloom_build_probe(spark, events):
+    """Sharded seen-before: hash-range shards build independently, probe
+    is a co-partitioned join + numpy probe; no false negatives, FPR
+    bounded, no filter ever assembled whole."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, probe_sharded)
+
+    keys = events.select("user_id").distinct()
+    n_distinct = keys.count()
+    shards = build_sharded(keys, "user_id", n_shards=8, p=0.01).cache()
+    rows = shards.collect()
+    assert {r["shard"] for r in rows} <= set(range(8))
+    assert sum(r["n_rows"] for r in rows) == n_distinct
+
+    probed = probe_sharded(keys, "user_id", shards)
+    assert probed.where(~F.col("seen")).count() == 0     # no false negatives
+    assert probed.columns == keys.columns + ["seen"]
+
+    absent = spark.range(5_000_000, 5_020_000).select(
+        F.col("id").alias("user_id"))
+    fp = probe_sharded(absent, "user_id", shards).where("seen").count()
+    assert fp / 20_000 <= 2 * 0.01
+    shards.unpersist()
