@@ -34,7 +34,8 @@ N_PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else int(
     os.environ.get("SPARK_GRAFT_SCALING_PAGES", "160000000"))
 CORES = tuple(int(c) for c in os.environ.get(
     "SPARK_GRAFT_SCALING_CORES", "1,4").split(","))
-ROUNDS = 2        # alternating A/B rounds per level (best round kept)
+ROUNDS = 3        # alternating A/B rounds per level (best round kept;
+                  # 3 rounds sample this VM's ~10-min memory phases)
 TIMED_REPS = 2    # timed reps inside each round (scaling_job.py median)
 SPLIT_MB = 32     # scaling_job.py spark.sql.files.maxPartitionBytes
 
@@ -94,7 +95,7 @@ def main() -> None:
     lo, hi = CORES
     ratio = hi // lo
     eff = results[hi]["docs_per_sec"] / (ratio * results[lo]["docs_per_sec"])
-    summary = {"job": "single-pass MultiSketch build (HLL + count-min + "
+    summary = {"job": "single-pass MultiSketch build (HLL + count-min + theta + "
                       "Bloom) over pages urls + sampled probe",
                "n_pages": N_PAGES,
                "runs": list(results.values()),
@@ -118,8 +119,8 @@ levels over identical input, each level in its own
 process.
 
 **Job**: single-pass MultiSketch build — HLL(p=13) distinct-url +
-count-min(5x16384) url frequency + Bloom(1M, p=0.01) seen-before, all
-updated in ONE table scan — plus a 200k-row membership probe (zero
+count-min(5x16384) url frequency + Bloom(1M, p=0.01) seen-before +
+theta(k=4096) set-algebra sample, all updated in ONE table scan — plus a 200k-row membership probe (zero
 false negatives asserted) over a staged Common-Crawl-shaped pages
 table ({N_PAGES:,} rows, url column, 64 parquet files, read as
 {SPLIT_MB}MB splits so no parallelism level suffers wave imbalance).
