@@ -714,6 +714,45 @@ def q_streaming_windowed(spark, sf_dir):
         out, "window_start timestamp, n_rows long, within_bound boolean")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Online seen-before dedup guard: two overlapping micro-batches
+    through StreamingShardedDedup (persistent versioned sharded Bloom
+    state). No key is ever emitted twice (no false negatives), every
+    true duplicate is suppressed, and false positives suppress at most
+    ~3p of genuinely new keys."""
+    import shutil
+    import tempfile
+    from bloom_filters_spark.streaming import (
+        StreamingShardedDedup, run_stream_dedup)
+    with tempfile.TemporaryDirectory() as td:
+        b1 = spark.range(0, 1000).select(F.col("id").alias("user_id"))
+        b2 = spark.range(500, 1500).select(F.col("id").alias("user_id"))
+        b1.coalesce(1).write.parquet(f"{td}/b1")
+        b2.coalesce(1).write.parquet(f"{td}/b2")
+        import os
+        os.makedirs(f"{td}/src")
+        for i, d in enumerate(("b1", "b2")):
+            for fn in os.listdir(f"{td}/{d}"):
+                if fn.endswith(".parquet"):
+                    shutil.copy(f"{td}/{d}/{fn}", f"{td}/src/batch{i}.parquet")
+        emitted: list = []
+        guard = StreamingShardedDedup(
+            spark, "user_id", f"{td}/state", n_shards=8, p=0.01,
+            shard_capacity=2048,
+            emit=lambda df, bid: emitted.extend(
+                r["user_id"] for r in df.collect()))
+        stream = (spark.readStream.schema(b1.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{td}/src"))
+        run_stream_dedup(stream, guard, checkpoint_dir=f"{td}/cp")
+    twice = len(emitted) - len(set(emitted))
+    coverage_ok = len(set(emitted)) >= 1500 * (1 - 3 * 0.01)
+    return spark.createDataFrame(
+        [(int(twice), bool(coverage_ok),
+          bool(guard.n_suppressed >= 500))],
+        "keys_emitted_twice long, coverage_ok boolean, "
+        "true_dupes_suppressed boolean")
+
+
 def q_flagship_hll_bloom(spark, sf_dir):
     """EP3 flagship (Bloom_project/src/core/Bloom_project.cpp:4744-4834):
     HLL → leading-order rounding → sized DynBloom → probes, with every
@@ -866,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "streaming_accumulate": q_streaming_accumulate,
         "streaming_windowed": q_streaming_windowed,
+        "streaming_dedup": q_streaming_dedup,
         "flagship_hll_bloom": q_flagship_hll_bloom,
         "s6_seeded_users": q_s6_seeded_users,
         "s7_words_fixture": q_s7_words_fixture,
@@ -1115,6 +1155,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
             "AS window_start, COUNT(*) AS n_rows, TRUE AS within_bound "
             "FROM events GROUP BY date_trunc('day', ts)",
+        "streaming_dedup":
+            "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
+            "TRUE AS coverage_ok, TRUE AS true_dupes_suppressed",
         "flagship_hll_bloom":
             f"SELECT COUNT(DISTINCT token) AS exact_distinct, "
             f"TRUE AS hll_within_bound, CAST(0 AS BIGINT) AS "

@@ -6,33 +6,31 @@ embedding-cosine near-dup. Scale notes per operator:
 
 - exact: groupBy(text-hash) — one shuffle on a 64-bit key, never on the
   text payload; window keep-first avoids a second scan.
-- minhash-lsh: per-token base hash is JVM xxhash64; the k-permutation
-  min is a vectorized numpy matrix op; only (band, bucket) keys shuffle.
+- minhash-lsh: signatures are ZERO-SHUFFLE per-row higher-order
+  aggregates (100% JVM, no Python); the candidate self-join is
+  co-partitioned on (band, bucket) with an optional hot-bucket cap.
   Candidate verification joins token SETS (array_intersect) — exact
   jaccard, so the pipeline has no false positives; recall is the
-  standard LSH s-curve.
-- simhash: 64-bit signature; banding into c chunks guarantees (by
-  pigeonhole) recall 1.0 for pairs within hamming distance < c.
+  standard LSH s-curve (minus capped buckets, which lsh_bucket_stats
+  accounts).
+- simhash: 64-bit signature, also a zero-shuffle per-row expression;
+  banding into c chunks guarantees (by pigeonhole) recall 1.0 for
+  pairs within hamming distance < c (unless bucket_cap drops a hot
+  bucket — accounted).
 - ngram-jaccard: exact all-pairs via inverted index (explode distinct
   shingles → self-join on shingle → per-pair intersection counts);
   the join key is the shingle hash, cardinality-bounded by document
   frequency; a df_cut drops ubiquitous shingles (the classic scale
-  guard — cites itself in BENCH).
-- embedding: exact cosine over a self-join (small dims) or LSH
-  hyperplane buckets (scale path in similarity.py).
+  guard — benched as ngram_jaccard_guarded).
+- embedding: exact cosine below max_exact_rows; hyperplane-LSH bucket
+  candidates + exact verification above it (cosine_pairs_lsh).
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .textstats import tokens_col
-
-_MERSENNE = (1 << 61) - 1
 
 
 def _once(col, fn):

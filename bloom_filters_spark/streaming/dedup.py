@@ -1,0 +1,140 @@
+"""Streaming seen-before dedup guard over a persistent sharded filter.
+
+The production shape of online url dedup at crawl scale: a parquet
+(Iceberg-shaped) table of hash-range Bloom shards is the durable
+state; each micro-batch is
+
+  1. PROBED against the current shard table (co-partitioned join +
+     vectorized numpy probe — ``operators.sharded.probe_sharded``);
+  2. rows whose key probes absent are DEFINITELY new (no false
+     negatives) and are emitted to the sink;
+  3. the new keys are folded into the shard table (per-shard Bloom
+     OR-merge), written atomically as the next version directory.
+
+False-positive hits drop ~p of genuinely-new rows (the standard Bloom
+dedup trade, bounded by the configured p); false negatives never
+happen, so no duplicate whose key was recorded is ever re-emitted.
+State is versioned (``v000001, v000002, ...``): a killed stream
+restarts from the last complete version — together with Structured
+Streaming's checkpointed batch replay this gives at-least-once state
+updates, and re-merging a replayed batch is IDEMPOTENT (Bloom OR).
+
+The reference has no streaming; this extends its seen-before theme
+(Bloom_project/src/core/Bloom_project.cpp:3689-3696 probes) to the
+north-star pipeline shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from ..kernels import BloomSketch, sketch_from_bytes
+from ..operators.sharded import build_sharded, probe_sharded
+
+
+class StreamingShardedDedup:
+    """foreachBatch sink: emit never-seen rows, grow the shard table.
+
+    ``emit`` receives (new_rows_df, batch_id) for every micro-batch —
+    write them wherever the pipeline needs (parquet append, kafka, ...).
+    """
+
+    def __init__(self, spark, col: str, state_dir: str, *,
+                 n_shards: int = 64, p: float = 0.01,
+                 shard_capacity: int = 100_000, seed: int = 0,
+                 emit: Callable[[DataFrame, int], None] | None = None):
+        self.spark = spark
+        self.col = col
+        self.state_dir = state_dir
+        self.n_shards = n_shards
+        self.p = p
+        self.shard_capacity = shard_capacity
+        self.seed = seed
+        self.emit = emit
+        self.n_emitted = 0
+        self.n_suppressed = 0
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- versioned state ---------------------------------------------------
+    def _versions(self) -> list[str]:
+        return sorted(d for d in os.listdir(self.state_dir)
+                      if d.startswith("v") and not d.endswith(".tmp"))
+
+    def current_shards(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(
+            os.path.join(self.state_dir, vs[-1]))
+
+    def _write_version(self, shards: DataFrame) -> None:
+        nxt = f"v{len(self._versions()) + 1:06d}"
+        tmp = os.path.join(self.state_dir, nxt + ".tmp")
+        shards.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, os.path.join(self.state_dir, nxt))
+
+    # -- batch fold --------------------------------------------------------
+    def _factory(self):
+        # fixed per-shard capacity: shard filters must stay OR-mergeable
+        # across batches, so every version uses identical (m, k).
+        # Returned as a detached closure — a bound method would drag
+        # ``self`` (and its SparkSession) into worker pickles.
+        floor, p = max(self.shard_capacity, 1024), self.p
+        return lambda cap: BloomSketch.from_capacity(floor, p)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.where(F.col(self.col).isNotNull()).cache()
+        shards = self.current_shards()
+        if shards is None:
+            new_rows = batch_df
+        else:
+            probed = probe_sharded(batch_df, self.col, shards,
+                                   seed=self.seed, out_col="__seen")
+            new_rows = probed.where(~F.col("__seen")).drop("__seen").cache()
+        n_new = new_rows.count()
+        self.n_emitted += n_new
+        self.n_suppressed += batch_df.count() - n_new
+        if self.emit is not None and n_new:
+            self.emit(new_rows, batch_id)
+        if n_new:
+            delta = build_sharded(new_rows, self.col, self.n_shards,
+                                  factory=self._factory(), seed=self.seed)
+            merged = self._merge_shards(shards, delta)
+            self._write_version(merged)
+        batch_df.unpersist()
+
+    def _merge_shards(self, shards: DataFrame | None,
+                      delta: DataFrame) -> DataFrame:
+        if shards is None:
+            return delta
+        import pandas as pd
+
+        both = shards.unionByName(delta)
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            sk, n = None, 0
+            for payload, rows in zip(pdf["payload"], pdf["n_rows"]):
+                part = sketch_from_bytes(bytes(payload))
+                sk = part if sk is None else sk.merge(part)
+                n += int(rows)
+            return pd.DataFrame({"shard": [pdf["shard"].iloc[0]],
+                                 "payload": [sk.to_bytes()],
+                                 "n_rows": [n]})
+
+        return both.groupBy("shard").applyInPandas(
+            merge_group, schema="shard int, payload binary, n_rows long")
+
+
+def run_stream_dedup(stream_df: DataFrame, guard: StreamingShardedDedup,
+                     checkpoint_dir: str | None = None):
+    """Start (availableNow) a deduplicating stream and wait."""
+    writer = stream_df.writeStream.foreachBatch(guard)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q

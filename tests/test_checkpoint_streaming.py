@@ -72,3 +72,42 @@ def test_streaming_accumulation(spark, tmp_path):
                                       state_dir=str(tmp_path / "state"))
     assert acc2.sketch is not None
     assert acc2.sketch.to_bytes() == acc.sketch.to_bytes()
+
+
+def test_streaming_sharded_dedup(spark, tmp_path):
+    """Online seen-before guard: across micro-batches no key is emitted
+    twice (Bloom has no false negatives), and at most ~p of genuinely
+    new keys are suppressed by false positives."""
+    import shutil
+    from pyspark.sql import functions as F
+    from bloom_filters_spark.streaming import (
+        StreamingShardedDedup, run_stream_dedup)
+
+    # two overlapping batches as separate files → maxFilesPerTrigger=1
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.range(0, 1000).select(F.col("id").alias("user_id"))
+    b2 = spark.range(500, 1500).select(F.col("id").alias("user_id"))
+    b1.coalesce(1).write.parquet(str(tmp_path / "b1"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "b2"))
+    for i, d in enumerate(("b1", "b2")):
+        for f in (tmp_path / d).glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}.parquet")
+
+    emitted: list = []
+    guard = StreamingShardedDedup(
+        spark, "user_id", str(tmp_path / "state"), n_shards=8, p=0.01,
+        shard_capacity=2048,
+        emit=lambda df, bid: emitted.extend(
+            r["user_id"] for r in df.collect()))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    run_stream_dedup(stream, guard, checkpoint_dir=str(tmp_path / "cp"))
+
+    assert len(emitted) == len(set(emitted))          # never emitted twice
+    # overlap (500..999) suppressed; new keys survive modulo FP rate
+    assert len(set(emitted)) >= 1500 * (1 - 3 * 0.01)
+    assert guard.n_suppressed >= 500                  # the true dupes
+    # state is versioned; a reader sees the latest complete version
+    shards = guard.current_shards()
+    assert shards is not None and shards.count() > 0
