@@ -276,6 +276,20 @@ def q_ann_topk(spark, sf_dir):
 # sketch queries (assertion-folded oracles per north_rule bounds)
 # ===================================================================
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (coarse-quantizer cells → candidate join → exact
+    re-rank) at n_probe == n_centroids, which degrades to exact brute
+    force — so the oracle is the same exact top-k SQL as ann_topk
+    (hash-exact check of the IVF plumbing end to end)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where("vec_id < 10")
+    corpus = emb.where("vec_id >= 10")
+    out = sim.ann_topk_ivf(corpus, queries_df, dim=64, k=5,
+                           id_col="vec_id", vec_col="embedding",
+                           qid_col="vec_id", n_centroids=8, n_probe=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_bloom_no_false_negatives(spark, sf_dir):
     """K1/K2: Bloom over all order keys, probe the same keys —
     false ⇒ definitely absent, so zero false negatives
@@ -882,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "bloom_no_false_negatives": q_bloom_no_false_negatives,
         "bloom_fpr_bounded": q_bloom_fpr_bounded,
         "hll_error_bounded": q_hll_error_bounded,
@@ -1069,6 +1084,20 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
         "ann_topk":
+            """WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                          FROM embeddings WHERE vec_id < 10),
+                c AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv
+                      FROM embeddings WHERE vec_id >= 10),
+                s AS (SELECT query_id, neighbor_id,
+                      round(list_cosine_similarity(cv, qv), 6) AS cosine
+                      FROM c, q)
+            SELECT query_id, neighbor_id, rank, cosine FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 5""",
+        "ann_topk_ivf":
             """WITH q AS (SELECT vec_id AS query_id,
                           CAST(embedding AS DOUBLE[]) AS qv
                           FROM embeddings WHERE vec_id < 10),

@@ -192,6 +192,16 @@ def q_ann_lsh(spark, sf_dir):
                             dim=64, k=10, qid_col="vec_id").count()
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN scale path: scan n_probe/n_centroids of the corpus
+    (here 4/16) per query instead of all of it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where("vec_id < 20")
+    return sim.ann_topk_ivf(emb.where("vec_id >= 20"), queries_df,
+                            dim=64, k=10, qid_col="vec_id",
+                            n_centroids=16, n_probe=4).count()
+
+
 QUERIES = {
     "pages_generate": q_pages_generate,
     "pages_hll_build": q_pages_hll_build,
@@ -209,6 +219,7 @@ QUERIES = {
     "simhash_neardup": q_simhash_neardup,
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 

@@ -232,3 +232,32 @@ def test_cosine_pairs_routes_to_lsh(spark):
     routed = cosine_pairs(df, threshold=0.999, max_exact_rows=10)
     got_routed = {(r["id1"], r["id2"]) for r in routed.collect()}
     assert got_routed == expect
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(spark):
+    """n_probe == n_centroids degrades IVF to exact brute force; with
+    fewer probes results are an exact-score subset."""
+    from bloom_filters_spark.operators.similarity import ann_topk_ivf
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id < 5")
+    corpus = df.where("vec_id >= 5")
+
+    brute = ann_topk_bruteforce(corpus, queries, k=4, qid_col="vec_id")
+    expect = {tuple(r) for r in brute.collect()}
+    full = ann_topk_ivf(corpus, queries, dim=16, k=4, qid_col="vec_id",
+                        n_centroids=6, n_probe=6, sample_rows=200)
+    assert {tuple(r) for r in full.collect()} == expect
+
+    part = ann_topk_ivf(corpus, queries, dim=16, k=4, qid_col="vec_id",
+                        n_centroids=6, n_probe=2, sample_rows=200)
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"])
+           for r in part.collect()}
+    # every returned (query, neighbor, score) is a true exact score
+    truth = {(r["query_id"], r["neighbor_id"], r["cosine"])
+             for r in ann_topk_bruteforce(corpus, queries, k=200,
+                                          qid_col="vec_id").collect()}
+    assert got <= truth
