@@ -728,6 +728,19 @@ def q_streaming_windowed(spark, sf_dir):
         out, "window_start timestamp, n_rows long, within_bound boolean")
 
 
+def q_prepare_corpus(spark, sf_dir):
+    """End-to-end corpus preparation (exact dedup → MinHash near-dup
+    dedup with greedy keep-first → quality filter), checked against a
+    full SQL replication of all three stages (near-dup via exact
+    inverted-index jaccard — valid because LSH at 128/32 banding plus
+    exact verification matches exact pairs on this corpus, per
+    minhash_vs_exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = plans.prepare_corpus(docs.select("doc_id", "text"),
+                               jaccard_threshold=0.8, min_quality=0.6)
+    return out.select("doc_id")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Online seen-before dedup guard: two overlapping micro-batches
     through StreamingShardedDedup (persistent versioned sharded Bloom
@@ -921,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_accumulate": q_streaming_accumulate,
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
+        "prepare_corpus": q_prepare_corpus,
         "flagship_hll_bloom": q_flagship_hll_bloom,
         "s6_seeded_users": q_s6_seeded_users,
         "s7_words_fixture": q_s7_words_fixture,
@@ -1187,6 +1201,40 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup":
             "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
             "TRUE AS coverage_ok, TRUE AS true_dupes_suppressed",
+        "prepare_corpus":
+            f"""WITH kept1 AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, row_number() OVER (
+                        PARTITION BY text ORDER BY doc_id) AS rn
+                    FROM documents) WHERE rn = 1),
+            t AS (SELECT doc_id AS id, list_distinct({toks}) AS sh
+                  FROM kept1),
+            sizes AS (SELECT id, len(sh) AS sz FROM t),
+            inv AS (SELECT id, unnest(sh) AS s FROM t),
+            inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS c
+                      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+                      GROUP BY a.id, b.id),
+            losers AS (SELECT DISTINCT id2 FROM inter
+                       JOIN sizes s1 ON id1 = s1.id
+                       JOIN sizes s2 ON id2 = s2.id
+                       WHERE round(c / (s1.sz + s2.sz - c), 6) >= 0.8),
+            kept2 AS (SELECT doc_id, text FROM kept1
+                      WHERE doc_id NOT IN (SELECT id2 FROM losers)),
+            b2 AS (SELECT doc_id, text, {toks} AS tk FROM kept2),
+            c2 AS (SELECT doc_id,
+                length(regexp_replace(text,
+                    '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                    / greatest(length(text), 1) AS praw,
+                len(list_intersect(list_distinct(tk), [{_STOPWORD_LIST}]))
+                    / greatest(len(list_distinct(tk)), 1) AS sraw,
+                1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS rraw,
+                len(tk) AS ntok FROM b2)
+            SELECT doc_id FROM c2
+            WHERE round((CASE WHEN ntok BETWEEN 5 AND 100000
+                         THEN 0.4 ELSE 0.0 END)
+                + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
+                + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
+                + least(sraw * 4, 1.0) * 0.2, 4) >= 0.6""",
         "flagship_hll_bloom":
             f"SELECT COUNT(DISTINCT token) AS exact_distinct, "
             f"TRUE AS hll_within_bound, CAST(0 AS BIGINT) AS "

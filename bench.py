@@ -179,6 +179,16 @@ def q_simhash_neardup(spark, sf_dir):
                               chunks=8).count()
 
 
+def q_prepare_corpus(spark, sf_dir):
+    """End-to-end corpus prep: exact dedup → minhash near-dup dedup
+    (trigram shingles, hot-bucket cap) → quality filter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = plans.prepare_corpus(docs.select("doc_id", "text"),
+                               jaccard_threshold=0.8, min_quality=0.6,
+                               shingle=3, bucket_cap=2048)
+    return out.count()
+
+
 def q_tokens_topk(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
@@ -217,6 +227,7 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "ngram_jaccard_guarded": q_ngram_jaccard_guarded,
     "simhash_neardup": q_simhash_neardup,
+    "prepare_corpus": q_prepare_corpus,
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -101,6 +101,46 @@ def text_length_quantiles(df: DataFrame, text_col: str = "text",
             "sketch": sk}
 
 
+def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", *,
+                   jaccard_threshold: float = 0.8,
+                   min_quality: float = 0.6,
+                   num_perm: int = 128, bands: int = 32,
+                   bucket_cap: int | None = None,
+                   shingle: int = 1) -> DataFrame:
+    """End-to-end training-corpus preparation — the composition a data
+    pipeline actually runs, built from the library's own operators:
+
+      1. EXACT dedup, keep-first (smallest id per distinct text);
+      2. NEAR-DUP dedup: MinHash-LSH candidates, exact-jaccard
+         verified; greedy keep-first policy — drop any doc with a
+         verified near-dup of smaller id (deterministic, one
+         anti-join; no iterative connected components);
+      3. QUALITY filter: keep docs with quality_score >= min_quality.
+
+    Returns the surviving rows of ``df``. Every stage is the scale
+    path (hash-keyed shuffle, zero-shuffle signatures + capped bucket
+    join, pure-JVM scoring)."""
+    from ..operators import dedup as dd
+    from ..operators.textstats import with_quality_score
+
+    # the exact-dedup result is referenced ~5x downstream (signature
+    # build, both verify sides, the loser anti-join, quality scoring);
+    # persisting it turns 5 repeated text-hash shuffles into one — the
+    # pipeline materialization point a 100 TB run would write to
+    # storage. Callers may .unpersist() lineage when done.
+    kept = dd.dedup_exact(df, text_col, id_col).persist()
+    pairs = dd.neardup_minhash(kept, id_col, text_col,
+                               threshold=jaccard_threshold,
+                               num_perm=num_perm, bands=bands,
+                               shingle=shingle, bucket_cap=bucket_cap)
+    losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+    kept = kept.join(losers, id_col, "left_anti")
+    scored = with_quality_score(kept)
+    return (scored.where(F.col("quality_score") >= min_quality)
+            .select(*df.columns))
+
+
 def round_leading_order(x: float) -> int:
     """P6: round an estimate to its leading-digit order of magnitude
     (Bloom_project/src/core/Bloom_project.cpp:4792-4800)."""
