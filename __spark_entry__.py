@@ -728,6 +728,50 @@ def q_streaming_windowed(spark, sf_dir):
         out, "window_start timestamp, n_rows long, within_bound boolean")
 
 
+def q_sampling_splits(spark, sf_dir):
+    """Content-addressed train/val/test splits + deterministic sample:
+    membership is a pure function of (key, seed), so splits partition
+    the data exactly, match their fractions, and are IDENTICAL across
+    re-computation and physical re-layout (the property a training
+    pipeline needs — no doc may hop between train and val)."""
+    from bloom_filters_spark.operators import sampling as sp
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    total = ev.count()
+    s = sp.hash_split(ev, "event_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = dict(s.groupBy("split").count().collect())
+    parts_ok = sum(counts.values()) == total and len(counts) == 3
+    frac_ok = all(abs(counts[k] / total - f) < 0.02 for k, f in
+                  [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    relaid = sp.hash_split(ev.repartition(7), "event_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    moved = (s.join(relaid.withColumnRenamed("split", "s2"), "event_id")
+             .where("split <> s2").count())
+    samp1 = sp.deterministic_sample(ev, "event_id", 0.3)
+    samp2 = sp.deterministic_sample(ev.repartition(5), "event_id", 0.3)
+    samp_stable = (samp1.join(samp2, "event_id", "full_outer")
+                   .where(samp1["event_id"].isNull()
+                          | samp2["event_id"].isNull()).count() == 0)
+    samp_frac_ok = abs(samp1.count() / total - 0.3) < 0.02
+    return spark.createDataFrame(
+        [(int(total), bool(parts_ok), bool(frac_ok), int(moved),
+          bool(samp_stable), bool(samp_frac_ok))],
+        "n_total long, partitions_data boolean, fractions_ok boolean, "
+        "keys_moved_on_relayout long, sample_stable boolean, "
+        "sample_fraction_ok boolean")
+
+
+def q_stratified_take(spark, sf_dir):
+    """Deterministic n-per-group sample: exactly min(n, group size)
+    rows per lang, chosen by hash order — per-group counts are exact
+    (SQL-checkable) even though membership is hash-chosen."""
+    from bloom_filters_spark.operators import sampling as sp
+    docs = _t(spark, sf_dir, "documents")
+    take = sp.stratified_take(docs, ["lang"], 50, key_col="doc_id")
+    return (take.groupBy("lang").agg(F.count("*").alias("taken"))
+            .orderBy("lang"))
+
+
 def q_prepare_corpus(spark, sf_dir):
     """End-to-end corpus preparation (exact dedup → MinHash near-dup
     dedup with greedy keep-first → quality filter), checked against a
@@ -935,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
         "prepare_corpus": q_prepare_corpus,
+        "sampling_splits": q_sampling_splits,
+        "stratified_take": q_stratified_take,
         "flagship_hll_bloom": q_flagship_hll_bloom,
         "s6_seeded_users": q_s6_seeded_users,
         "s7_words_fixture": q_s7_words_fixture,
@@ -1201,6 +1247,14 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup":
             "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
             "TRUE AS coverage_ok, TRUE AS true_dupes_suppressed",
+        "sampling_splits":
+            "SELECT (SELECT COUNT(*) FROM events) AS n_total, "
+            "TRUE AS partitions_data, TRUE AS fractions_ok, "
+            "CAST(0 AS BIGINT) AS keys_moved_on_relayout, "
+            "TRUE AS sample_stable, TRUE AS sample_fraction_ok",
+        "stratified_take":
+            "SELECT lang, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS taken "
+            "FROM documents GROUP BY lang ORDER BY lang",
         "prepare_corpus":
             f"""WITH kept1 AS (
                 SELECT doc_id, text FROM (

@@ -261,3 +261,33 @@ def test_ann_ivf_full_probe_equals_bruteforce(spark):
              for r in ann_topk_bruteforce(corpus, queries, k=200,
                                           qid_col="vec_id").collect()}
     assert got <= truth
+
+
+def test_sampling_operators(spark):
+    """Content-addressed splits partition data, are stable across
+    layouts/seeds, and stratified_take is exact-per-group."""
+    from bloom_filters_spark.operators import sampling as sp
+
+    df = spark.range(10_000).select(F.col("id").alias("k"),
+                                    (F.col("id") % 4).alias("g"))
+    s = sp.hash_split(df, "k", {"train": 0.7, "val": 0.3})
+    counts = dict(s.groupBy("split").count().collect())
+    assert sum(counts.values()) == 10_000
+    assert abs(counts["train"] / 10_000 - 0.7) < 0.02
+    # different seed → different membership (not degenerate)
+    s2 = sp.hash_split(df, "k", {"train": 0.7, "val": 0.3}, seed=9)
+    moved = s.join(s2.withColumnRenamed("split", "s2"), "k") \
+        .where("split <> s2").count()
+    assert moved > 0
+    # deterministic sample is a subset and reproducible
+    a = {r["k"] for r in sp.deterministic_sample(df, "k", 0.25).collect()}
+    b = {r["k"] for r in
+         sp.deterministic_sample(df.repartition(13), "k", 0.25).collect()}
+    assert a == b and abs(len(a) / 10_000 - 0.25) < 0.02
+    # stratified: exactly min(n, group size) per group, reproducible
+    t1 = sp.stratified_take(df, ["g"], 17, key_col="k")
+    assert dict(t1.groupBy("g").count().collect()) == {i: 17
+                                                       for i in range(4)}
+    t2 = sp.stratified_take(df.repartition(5), ["g"], 17, key_col="k")
+    assert ({tuple(r) for r in t1.collect()}
+            == {tuple(r) for r in t2.collect()})
