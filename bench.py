@@ -36,9 +36,13 @@ from bloom_filters_spark.session import get_spark  # noqa: E402
 from bloom_filters_spark.sources.pages import generate_pages  # noqa: E402
 
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
-# best-of-N reps per query: this sandbox VM has episodic slow-memory
-# phases (whole-suite 3-5x swings measured); the min over reps keeps a
-# short spike from being recorded as a query's cost
+# best-of-N SUITE PASSES per query: this sandbox VM has episodic
+# slow-memory phases lasting minutes (whole-suite 3-5x swings and
+# 15-60x single-query spikes measured), so consecutive reps of one
+# query sit inside the same phase; running the whole suite N times and
+# keeping each query's minimum across passes lets the phase shift
+# between a query's samples — the same principle as the scaling job's
+# alternating A/B rounds
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
@@ -251,27 +255,32 @@ def main() -> None:
     build_sketch(warm, "k", lambda: HLLSketch(10))
 
     timings: dict[str, float] = {}
+    results: dict[str, object] = {}
     pages_rate = None
     pages_rate_warm = None
-    for name, fn in QUERIES.items():
-        best, result = None, None
-        for _rep in range(max(1, REPS)):
+    for rnd in range(max(1, REPS)):
+        for name, fn in QUERIES.items():
+            if rnd > 0 and name == "pages_generate":
+                continue         # fixture staging is once-only by design
             t0 = time.time()
             result = fn(spark, sf_dir)
             dt = time.time() - t0
-            if best is None or dt < best:
-                best = dt
-            if name == "pages_generate":
-                break            # fixture staging is once-only by design
-        timings[name] = round(best, 3)
-        if name == "pages_hll_build":
-            pages_rate = round(result / best, 1)
-            # warm re-run (page cache + JIT settled): the representative
-            # round-over-round throughput number (VERDICT r1 item 9)
-            t0 = time.time()
-            n2 = fn(spark, sf_dir)
-            pages_rate_warm = round(n2 / (time.time() - t0), 1)
-        print(f"# {name}: {best:.2f}s (result={result})", file=sys.stderr)
+            results[name] = result
+            if name not in timings or dt < timings[name]:
+                timings[name] = round(dt, 3)
+            if name == "pages_hll_build":
+                rate = round(result / dt, 1)
+                if pages_rate is None or rate > pages_rate:
+                    pages_rate = rate
+                # warm re-run (page cache + JIT settled): the
+                # representative round-over-round throughput number
+                t0 = time.time()
+                n2 = fn(spark, sf_dir)
+                wr = round(n2 / (time.time() - t0), 1)
+                if pages_rate_warm is None or wr > pages_rate_warm:
+                    pages_rate_warm = wr
+            print(f"# [{rnd}] {name}: {dt:.2f}s (result={result})",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
