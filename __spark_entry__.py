@@ -473,6 +473,36 @@ def q_sharded_bloom(spark, sf_dir):
         "all_shards_built long, false_negatives long, fpr_ok boolean")
 
 
+def q_sharded_delete(spark, sf_dir):
+    """Delete-at-scale: counting-Bloom shards support key removal
+    without rebuilding (K8's delete semantics at sharded scale).
+    Remove all 'F'-status order keys from the shard table; every
+    survivor still probes present (exact counter arithmetic — zero
+    false negatives) and removed keys probe absent modulo the FP rate."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, probe_sharded,
+        remove_sharded)
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.select("o_orderkey").distinct()
+    shards = build_sharded(keys, "o_orderkey", n_shards=16,
+                           factory=counting_shard_factory(0.01)).cache()
+    shards.count()
+    gone = orders.where("o_orderstatus = 'F'") \
+        .select("o_orderkey").distinct()
+    shards2 = remove_sharded(gone, "o_orderkey", shards).cache()
+    survivors = keys.join(gone, "o_orderkey", "left_anti")
+    fn = probe_sharded(survivors, "o_orderkey", shards2) \
+        .where(~F.col("seen")).count()
+    still = probe_sharded(gone, "o_orderkey", shards2) \
+        .where("seen").count()
+    n_gone = gone.count()
+    shards.unpersist()
+    shards2.unpersist()
+    return spark.createDataFrame(
+        [(int(fn), bool(still / max(n_gone, 1) <= 0.05))],
+        "false_negatives long, removed_mostly_absent boolean")
+
+
 def q_ibf_recover(spark, sf_dir):
     """K9/K10: IBF getAllValues — peel the merged IBF and join recovered
     key hashes back to the source (all 200 names recovered)
@@ -965,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counting_bloom_delete": q_counting_bloom_delete,
         "cuckoo_contract": q_cuckoo_contract,
         "sharded_bloom": q_sharded_bloom,
+        "sharded_delete": q_sharded_delete,
         "ibf_recover": q_ibf_recover,
         "collision_metrics": q_collision_metrics,
         "theta_set_ops": q_theta_set_ops,
@@ -1198,6 +1229,9 @@ def oracle_sql() -> dict[str, str]:
         "sharded_bloom":
             "SELECT CAST(1 AS BIGINT) AS all_shards_built, "
             "CAST(0 AS BIGINT) AS false_negatives, TRUE AS fpr_ok",
+        "sharded_delete":
+            "SELECT CAST(0 AS BIGINT) AS false_negatives, "
+            "TRUE AS removed_mostly_absent",
         "ibf_recover":
             "SELECT COUNT(DISTINCT c_name) AS n_recovered FROM customer "
             "WHERE c_custkey <= 200",

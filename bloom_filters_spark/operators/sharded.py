@@ -32,10 +32,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..kernels import BloomSketch, sketch_from_bytes
+from ..kernels import BloomSketch, CountingBloomSketch, sketch_from_bytes
+from ..kernels.bloom import optimal_k, optimal_m
 from .agg import hash_col
 
 _SHARD_SCHEMA = "shard int, payload binary, n_rows long"
+
+
+def counting_shard_factory(p: float = 0.01):
+    """Per-shard COUNTING Bloom factory for ``build_sharded`` —
+    deletable shards (see ``remove_sharded``), sized exactly like the
+    plain-Bloom default from the observed per-shard key count."""
+    def make(cap: int) -> CountingBloomSketch:
+        m = optimal_m(max(1024, cap), p)
+        return CountingBloomSketch(m, optimal_k(m, max(1024, cap)))
+    return make
 
 
 def shard_col(col, n_shards: int, seed: int = 0):
@@ -83,6 +94,43 @@ def build_sharded(df: DataFrame, col: str, n_shards: int, *,
         yield pd.DataFrame(out)
 
     return hashed.mapInPandas(build, schema=_SHARD_SCHEMA)
+
+
+def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
+                   seed: int = 0) -> DataFrame:
+    """→ a NEW shard table with ``df``'s keys removed (decremented).
+
+    Requires counting-Bloom shards (``counting_shard_factory``): plain
+    Bloom shards cannot delete. Plan: hash + shard the removal keys,
+    aggregate each shard's removal list (one shuffle of the removal
+    hashes — the analogue of the build shuffle), join to the shard
+    payloads, decrement per shard in one Arrow batch pass. Shards
+    without removals pass through untouched."""
+    n_shards = shards_df.agg(F.max("shard")).first()[0] + 1
+    rem = (df.where(F.col(col).isNotNull())
+           .select(hash_col(F.col(col), seed).alias("__h"))
+           .withColumn("shard", F.pmod(F.col("__h"),
+                                       F.lit(n_shards)).cast("int"))
+           .groupBy("shard").agg(F.collect_list("__h").alias("__hs")))
+    joined = shards_df.join(rem, "shard", "left")
+
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ns = [], []
+            for payload, hs, n in zip(pdf["payload"], pdf["__hs"],
+                                      pdf["n_rows"]):
+                sk = sketch_from_bytes(bytes(payload))
+                removed = 0
+                if hs is not None and len(hs):
+                    arr = np.asarray(hs, dtype=np.int64)
+                    sk.remove_hashes(arr)
+                    removed = arr.size
+                payloads.append(sk.to_bytes())
+                ns.append(int(n) - removed)
+            yield pd.DataFrame({"shard": pdf["shard"],
+                                "payload": payloads, "n_rows": ns})
+
+    return joined.mapInPandas(apply, schema=_SHARD_SCHEMA)
 
 
 def probe_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,

@@ -239,3 +239,29 @@ def test_sharded_bloom_build_probe(spark, events):
     fp = probe_sharded(absent, "user_id", shards).where("seen").count()
     assert fp / 20_000 <= 2 * 0.01
     shards.unpersist()
+
+
+def test_sharded_counting_delete(spark, events):
+    """Counting-Bloom shards: remove keys without rebuilding; survivors
+    never probe absent, removed keys drop to ~FP rate."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, probe_sharded,
+        remove_sharded)
+
+    keys = events.select("user_id").distinct()
+    shards = build_sharded(keys, "user_id", n_shards=8,
+                           factory=counting_shard_factory(0.01)).cache()
+    shards.count()
+    gone = keys.where("user_id % 3 = 0")
+    shards2 = remove_sharded(gone, "user_id", shards).cache()
+    survivors = keys.where("user_id % 3 <> 0")
+    assert probe_sharded(survivors, "user_id", shards2) \
+        .where(~F.col("seen")).count() == 0
+    n_gone = gone.count()
+    still = probe_sharded(gone, "user_id", shards2).where("seen").count()
+    assert still / n_gone <= 0.05
+    # row accounting carried through the new version
+    assert (sum(r["n_rows"] for r in shards2.collect())
+            == keys.count() - n_gone)
+    shards.unpersist()
+    shards2.unpersist()
