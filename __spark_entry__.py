@@ -758,6 +758,17 @@ def q_streaming_windowed(spark, sf_dir):
         out, "window_start timestamp, n_rows long, within_bound boolean")
 
 
+def q_token_budget(spark, sf_dir):
+    """Best-docs-within-a-token-budget selection (distributed
+    cumulative sum over the quality ranking — range partitions +
+    per-partition windows + broadcast prefix offsets; never a global
+    single-partition sort). Exact vs the SQL global-window cumsum."""
+    docs = _t(spark, sf_dir, "documents")
+    out = plans.select_token_budget(docs.select("doc_id", "text"),
+                                    budget_tokens=10_000, partitions=8)
+    return out.select("doc_id")
+
+
 def q_sampling_splits(spark, sf_dir):
     """Content-addressed train/val/test splits + deterministic sample:
     membership is a pure function of (key, seed), so splits partition
@@ -1011,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "prepare_corpus": q_prepare_corpus,
         "sampling_splits": q_sampling_splits,
+        "token_budget": q_token_budget,
         "stratified_take": q_stratified_take,
         "flagship_hll_bloom": q_flagship_hll_bloom,
         "s6_seeded_users": q_s6_seeded_users,
@@ -1281,6 +1293,27 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup":
             "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
             "TRUE AS coverage_ok, TRUE AS true_dupes_suppressed",
+        "token_budget":
+            f"""WITH b AS (SELECT doc_id, text, {toks} AS tk
+                           FROM documents),
+            c AS (SELECT doc_id, len(tk) AS ntok,
+                length(regexp_replace(text,
+                    '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                    / greatest(length(text), 1) AS praw,
+                len(list_intersect(list_distinct(tk), [{_STOPWORD_LIST}]))
+                    / greatest(len(list_distinct(tk)), 1) AS sraw,
+                1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS rraw
+                FROM b),
+            q AS (SELECT doc_id, ntok,
+                round((CASE WHEN ntok BETWEEN 5 AND 100000
+                       THEN 0.4 ELSE 0.0 END)
+                    + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
+                    + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
+                    + least(sraw * 4, 1.0) * 0.2, 4) AS qs FROM c),
+            w AS (SELECT doc_id, SUM(ntok) OVER (
+                    ORDER BY qs DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+            SELECT doc_id FROM w WHERE cum <= 10000""",
         "sampling_splits":
             "SELECT (SELECT COUNT(*) FROM events) AS n_total, "
             "TRUE AS partitions_data, TRUE AS fractions_ok, "

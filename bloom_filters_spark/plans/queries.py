@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..kernels import (BloomSketch, CountMinSketch, HLLSketch, KLLSketch,
                        MultiSketch)
@@ -138,6 +138,43 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
     kept = kept.join(losers, id_col, "left_anti")
     scored = with_quality_score(kept)
     return (scored.where(F.col("quality_score") >= min_quality)
+            .select(*df.columns))
+
+
+def select_token_budget(df: DataFrame, budget_tokens: int, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        partitions: int = 32) -> DataFrame:
+    """Fill a token budget with the best documents: rank by
+    quality_score (desc, id tiebreak) and keep rows while the running
+    token total stays within ``budget_tokens`` — "take the best N
+    tokens", the selection step after corpus prep.
+
+    The running total is a DISTRIBUTED cumulative sum, not a global
+    single-partition window: ``repartitionByRange`` on the rank order,
+    per-partition window sums, then each partition's prefix offset
+    (one tiny driver-side pass over P partial totals) is added back via
+    a broadcast join — two shuffles total and no node ever sorts more
+    than its range slice."""
+    from ..operators.textstats import tokens_col, with_quality_score
+
+    scored = (with_quality_score(df)
+              .withColumn("__ntok", F.size(tokens_col(text_col))))
+    ranged = scored.repartitionByRange(
+        partitions, F.desc("quality_score"), F.asc(id_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(
+        F.desc("quality_score"), F.asc(id_col))
+    local = with_pid.withColumn("__cum", F.sum("__ntok").over(w))
+    totals = sorted(
+        (r["__pid"], r["t"]) for r in
+        with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("t")).collect())
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += int(t)
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    return (local.join(F.broadcast(off_df), "__pid")
+            .where(F.col("__cum") + F.col("__off") <= budget_tokens)
             .select(*df.columns))
 
 

@@ -79,3 +79,33 @@ def test_flagship_hll_bloom(spark):
     assert got[KNOWN_ABSENT] is False     # absent word rejected (:4828)
     assert r["bloom_k"] >= 1 and r["bloom_m"] > 0
     words.unpersist()
+
+
+def test_select_token_budget_distributed_cumsum(spark, sf_dir):
+    """The range-partitioned cumulative sum must equal the global
+    single-window cumsum exactly (any partition count), and the kept
+    set must respect the budget."""
+    from pyspark.sql import Window, functions as F
+    from bloom_filters_spark.operators.textstats import (
+        tokens_col, with_quality_score)
+    from bloom_filters_spark.plans.queries import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    budget = 3000
+    got = {r["doc_id"] for r in
+           select_token_budget(docs, budget, partitions=5).collect()}
+    got2 = {r["doc_id"] for r in
+            select_token_budget(docs, budget, partitions=17).collect()}
+    assert got == got2                      # partition-count independent
+
+    scored = (with_quality_score(docs)
+              .withColumn("ntok", F.size(tokens_col("text"))))
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = scored.withColumn("cum", F.sum("ntok").over(w)) \
+        .where(F.col("cum") <= budget)
+    assert got == {r["doc_id"] for r in ref.collect()}
+    total = (scored.where(F.col("doc_id").isin(list(got)))
+             .agg(F.sum("ntok")).first()[0])
+    assert total <= budget
