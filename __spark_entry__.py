@@ -566,6 +566,41 @@ def q_theta_set_ops(spark, sf_dir):
         "inter_ok boolean, exact_diff long, diff_ok boolean")
 
 
+def q_theta_grouped_overlap(spark, sf_dir):
+    """Grouped theta sketches (one per event_type) + pairwise
+    INTERSECTION estimates: how many users each pair of event types
+    shares, estimated from per-group sketches alone vs the exact
+    pairwise overlap (the audience-overlap query a sketch library
+    exists for — no re-scan per pair)."""
+    from bloom_filters_spark.kernels import sketch_from_bytes
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    grouped = build_grouped_sketches(ev, "user_id",
+                                     lambda: ThetaSketch(1024),
+                                     ["event_type"])
+    sks = {r["event_type"]: sketch_from_bytes(bytes(r["payload"]))
+           for r in grouped.collect()}
+    d = ev.distinct()
+    exact = {(r["ta"], r["tb"]): r["c"] for r in
+             (d.alias("a").join(
+                 d.alias("b"),
+                 (F.col("a.user_id") == F.col("b.user_id"))
+                 & (F.col("a.event_type") < F.col("b.event_type")))
+              .groupBy(F.col("a.event_type").alias("ta"),
+                       F.col("b.event_type").alias("tb"))
+              .agg(F.count("*").alias("c"))).collect()}
+    rows = []
+    for (ta, tb), ex in sorted(exact.items()):
+        a, b = sks[ta], sks[tb]
+        union = a.union_estimate(b)
+        tol = 4 * math.sqrt(max(union / max(ex, 1), 1)) / math.sqrt(a.k) \
+            + 0.02
+        est = a.intersect_estimate(b)
+        rows.append((ta, tb, int(ex), bool(abs(est - ex) / ex <= tol)))
+    return spark.createDataFrame(
+        rows, "type_a string, type_b string, exact_inter long, "
+              "within_bound boolean")
+
+
 def q_minhash_vs_exact(spark, sf_dir):
     """MinHash-LSH (128 perms / 32 bands) vs exact Jaccard ≥ 0.8:
     verification makes precision exact; banding makes the per-pair miss
@@ -1010,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibf_recover": q_ibf_recover,
         "collision_metrics": q_collision_metrics,
         "theta_set_ops": q_theta_set_ops,
+        "theta_grouped_overlap": q_theta_grouped_overlap,
         "minhash_vs_exact": q_minhash_vs_exact,
         "simhash_complete": q_simhash_complete,
         "lsh_bucket_caps": q_lsh_bucket_caps,
@@ -1259,6 +1295,13 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders "
             "EXCEPT SELECT DISTINCT l_orderkey FROM lineitem)) "
             "AS exact_diff, TRUE AS diff_ok",
+        "theta_grouped_overlap":
+            """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS exact_inter, TRUE AS within_bound
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type""",
         "minhash_vs_exact":
             "SELECT CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra",
         "simhash_complete":
