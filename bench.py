@@ -116,6 +116,25 @@ def q_skew_grouped_salted(spark, sf_dir):
     return grouped.count()
 
 
+def q_skew_partition_balance(spark, sf_dir):
+    """Deterministic skew evidence to go with the A/B wall times (which
+    at 200k rows sit inside VM noise): the heaviest partition's row
+    count, host-partitioned vs salted. Result = the imbalance-reduction
+    factor (hot-host partition shrinks by ~this factor at any scale —
+    at 100 TB that factor is the straggler speedup)."""
+    pages = _staged_pages(spark)
+    hosts = pages.select(plans.host_col("url").alias("host"), "url")
+
+    def max_load(df):
+        return (df.groupBy(F.spark_partition_id().alias("p"))
+                .count().agg(F.max("count")).first()[0])
+
+    unsalted = max_load(hosts.repartition(32, "host"))
+    salted = max_load(salted_repartition(hosts, F.col("host"), 32,
+                                         salts=8, salt_from=F.col("url")))
+    return round(unsalted / salted, 2)
+
+
 def q_pages_distinct_hosts(spark, sf_dir):
     """North-star distinct_hosts over the zipf-skewed host distribution
     (host00000 alone holds ~7% of rows — the skew the partial-sketch
@@ -226,6 +245,7 @@ QUERIES = {
     "pages_bloom_probe": q_pages_bloom_probe,
     "skew_grouped_unsalted": q_skew_grouped_unsalted,
     "skew_grouped_salted": q_skew_grouped_salted,
+    "skew_partition_balance": q_skew_partition_balance,
     "pages_distinct_hosts": q_pages_distinct_hosts,
     "hll_distinct": q_hll_distinct,
     "hll_grouped_hosts": q_hll_grouped_hosts,
