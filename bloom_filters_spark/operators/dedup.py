@@ -388,7 +388,14 @@ def cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     go through hyperplane-LSH bucket candidates with exact cosine
     verification (``cosine_pairs_lsh``) — so the operator a user gets
     by default never plans an O(n²) join at scale. Pass ``exact=True``
-    to force the baseline (oracle/parity use)."""
+    to force the baseline (oracle/parity use).
+
+    NOTE ``exact=None`` is EAGER: the routing decision runs a bounded
+    Spark job (``df.limit(max_exact_rows+1).count()``) at call time —
+    cheap (the count short-circuits at the limit) but it does
+    recompute ``df``'s upstream lineage once. Callers that already
+    know their cardinality should pass ``exact=`` explicitly to keep
+    plan construction fully lazy."""
     if exact is None:
         exact = df.limit(max_exact_rows + 1).count() <= max_exact_rows
     if not exact:

@@ -8,17 +8,23 @@ scale design (BENCH/BASELINE.md) shards the key space BY HASH RANGE:
 
 so each shard is an independent, normally-sized Bloom filter over its
 slice of the key space, and the collection is a DataFrame
-``(shard int, payload binary, n_rows long)`` — a first-class table that
-can be written/read as parquet/Iceberg, incrementally rebuilt per
-shard, and probed with a co-partitioned join instead of a broadcast.
+``(shard int, payload binary, n_rows long, n_shards int)`` — a
+first-class table that can be written/read as parquet/Iceberg,
+incrementally rebuilt per shard, and probed with a co-partitioned
+cogroup instead of a broadcast. ``n_shards`` (the hash modulus) is
+CARRIED IN THE TABLE, never inferred from max(shard)+1: an empty top
+shard would shrink the inferred modulus, silently mis-route every
+probe, and break the no-false-negative contract.
 
 Build plan: one scan → repartition by shard (the ONLY shuffle of key
 hashes; each reducer builds exactly one shard's filter from a
 contiguous hash range) → one partial per shard → per-shard merge.
-Probe plan: hash incoming keys JVM-side → repartition by shard →
-zip each partition with its (tiny) shard payload via a co-partitioned
-join → vectorized numpy probe per batch. No filter ever exceeds
-shard-sized memory anywhere.
+Probe plan: hash incoming keys JVM-side → cogroup probes with shard
+payloads on (shard, salt) → vectorized numpy probe per group. Each
+payload crosses the JVM→Python Arrow boundary ONCE PER GROUP (at most
+n_shards × n_salts times total, independent of probe row count) —
+never once per probe row. No filter ever exceeds shard-sized memory
+anywhere.
 
 The per-shard sketch is any membership sketch following the aggregator
 protocol (Bloom by default; CountingBloom for deletable shards).
@@ -36,7 +42,7 @@ from ..kernels import BloomSketch, CountingBloomSketch, sketch_from_bytes
 from ..kernels.bloom import optimal_k, optimal_m
 from .agg import hash_col
 
-_SHARD_SCHEMA = "shard int, payload binary, n_rows long"
+_SHARD_SCHEMA = "shard int, payload binary, n_rows long, n_shards int"
 
 
 def counting_shard_factory(p: float = 0.01):
@@ -54,16 +60,31 @@ def shard_col(col, n_shards: int, seed: int = 0):
     return F.pmod(hash_col(col, seed), F.lit(n_shards)).cast("int")
 
 
+def shard_count(shards_df: DataFrame) -> int:
+    """The hash modulus recorded in a shard table (one tiny action).
+
+    Reads the ``n_shards`` column ``build_sharded`` wrote — NOT
+    max(shard)+1, which under-counts whenever the top hash range
+    happened to receive no keys and then mis-routes every probe."""
+    row = shards_df.select("n_shards").first()
+    if row is None:
+        raise ValueError("empty shard table: build_sharded never ran")
+    return int(row["n_shards"])
+
+
 def build_sharded(df: DataFrame, col: str, n_shards: int, *,
                   factory: Callable | None = None, p: float = 0.01,
                   seed: int = 0) -> DataFrame:
-    """→ DataFrame(shard, payload, n_rows): one membership sketch per
-    hash-range shard.
+    """→ DataFrame(shard, payload, n_rows, n_shards): one membership
+    sketch per hash-range shard.
 
     ``factory(capacity)`` builds the per-shard sketch; the default is
     ``BloomSketch.from_capacity(capacity, p)`` where capacity is the
     observed per-shard row count (keys of one shard are seen whole by
-    construction, so exact sizing needs no estimation pass)."""
+    construction, so exact sizing needs no estimation pass). Shards
+    that received no keys emit no row — consumers read the modulus
+    from the ``n_shards`` column, so an empty shard is just an absent
+    payload (probe → not seen), never a mis-sized modulus."""
     if factory is None:
         factory = lambda cap: BloomSketch.from_capacity(max(1024, cap), p)
 
@@ -91,7 +112,7 @@ def build_sharded(df: DataFrame, col: str, n_shards: int, *,
             out["shard"].append(s)
             out["payload"].append(sk.to_bytes())
             out["n_rows"].append(h.size)
-        yield pd.DataFrame(out)
+        yield pd.DataFrame(out).assign(n_shards=np.int32(n_shards))
 
     return hashed.mapInPandas(build, schema=_SHARD_SCHEMA)
 
@@ -102,73 +123,92 @@ def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
 
     Requires counting-Bloom shards (``counting_shard_factory``): plain
     Bloom shards cannot delete. Plan: hash + shard the removal keys,
-    aggregate each shard's removal list (one shuffle of the removal
-    hashes — the analogue of the build shuffle), join to the shard
-    payloads, decrement per shard in one Arrow batch pass. Shards
-    without removals pass through untouched."""
-    n_shards = shards_df.agg(F.max("shard")).first()[0] + 1
+    COGROUP them with the shard payloads on shard id (one shuffle of
+    the removal hashes — the analogue of the build shuffle), decrement
+    per shard in one numpy pass. Removal hashes stream into the group
+    as ordinary Arrow rows — never a collect_list single-cell array,
+    which at 10⁹ removals per shard would be an 8 GB column value
+    (over Spark's 2 GB limit and a one-reducer memory bomb). Shards
+    without removals pass through untouched; a group's transient
+    memory is its own removal count (split giant removal feeds into
+    multiple remove_sharded passes if one shard's removals outgrow
+    executor memory)."""
+    n_shards = shard_count(shards_df)
     rem = (df.where(F.col(col).isNotNull())
            .select(hash_col(F.col(col), seed).alias("__h"))
            .withColumn("shard", F.pmod(F.col("__h"),
-                                       F.lit(n_shards)).cast("int"))
-           .groupBy("shard").agg(F.collect_list("__h").alias("__hs")))
-    joined = shards_df.join(rem, "shard", "left")
+                                       F.lit(n_shards)).cast("int")))
 
-    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads, ns = [], []
-            for payload, hs, n in zip(pdf["payload"], pdf["__hs"],
-                                      pdf["n_rows"]):
-                sk = sketch_from_bytes(bytes(payload))
-                removed = 0
-                if hs is not None and len(hs):
-                    arr = np.asarray(hs, dtype=np.int64)
-                    sk.remove_hashes(arr)
-                    removed = arr.size
-                payloads.append(sk.to_bytes())
-                ns.append(int(n) - removed)
-            yield pd.DataFrame({"shard": pdf["shard"],
-                                "payload": payloads, "n_rows": ns})
+    def apply(shard_pdf: pd.DataFrame, rem_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(shard_pdf):        # removals for an empty shard: no-op
+            return pd.DataFrame({"shard": [], "payload": [], "n_rows": [],
+                                 "n_shards": []}).astype(
+                {"shard": "int32", "n_rows": "int64", "n_shards": "int32"})
+        sk = sketch_from_bytes(bytes(shard_pdf["payload"].iloc[0]))
+        removed = 0
+        if len(rem_pdf):
+            arr = rem_pdf["__h"].to_numpy(dtype=np.int64)
+            sk.remove_hashes(arr)
+            removed = arr.size
+        return pd.DataFrame({
+            "shard": shard_pdf["shard"].iloc[:1],
+            "payload": [sk.to_bytes()],
+            "n_rows": [int(shard_pdf["n_rows"].iloc[0]) - removed],
+            "n_shards": shard_pdf["n_shards"].iloc[:1]})
 
-    return joined.mapInPandas(apply, schema=_SHARD_SCHEMA)
+    return (shards_df.groupby("shard")
+            .cogroup(rem.groupby("shard"))
+            .applyInPandas(apply, schema=_SHARD_SCHEMA))
 
 
 def probe_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
-                  seed: int = 0, out_col: str = "seen") -> DataFrame:
+                  seed: int = 0, out_col: str = "seen",
+                  n_salts: int = 8) -> DataFrame:
     """Membership probe against a sharded filter table.
 
-    Plan: JVM hash + shard id → co-partitioned join with the shard
-    payloads (each payload row is KB-MB; at realistic shard counts the
-    payload side is small per shard and AQE picks the join strategy) →
-    Arrow-batched numpy probe. The full filter is never assembled in
-    one place."""
-    # shard count comes from the shards table (driver-side max: tiny)
-    n_shards = shards_df.agg(F.max("shard")).first()[0] + 1
+    Plan: JVM hash + shard id + salt → COGROUP with the shard payloads
+    on (shard, salt) → vectorized numpy probe per group. The payload
+    side is exploded once per salt, so each shard's filter bytes cross
+    the Arrow boundary at most ``n_shards × n_salts`` times TOTAL —
+    independent of probe row count (a per-row payload join would carry
+    rows × payload bytes: at 36 MB shards and 10k-row batches that is
+    ~360 GB of duplicated transfer). The salt bounds group
+    materialization: one group holds ~rows/(n_shards·n_salts) probe
+    rows, so raise ``n_salts`` for very probe-heavy jobs. The full
+    filter is never assembled in one place."""
+    n_shards = shard_count(shards_df)
     hashed = (df.withColumn("__h", hash_col(F.col(col), seed))
               .withColumn("__shard",
                           F.pmod(F.col("__h"),
-                                 F.lit(n_shards)).cast("int")))
-    joined = hashed.join(shards_df.withColumnRenamed("shard", "__shard")
-                         .select("__shard", "payload"),
-                         "__shard", "left")
+                                 F.lit(n_shards)).cast("int"))
+              .withColumn("__salt",
+                          F.pmod(F.xxhash64(F.col("__h"), F.lit(seed + 1)),
+                                 F.lit(n_salts)).cast("int")))
+    # payload replicated once per salt (n_salts copies total per shard)
+    salted_shards = (shards_df
+                     .select(F.col("shard").alias("__shard"), "payload",
+                             F.explode(F.sequence(
+                                 F.lit(0), F.lit(n_salts - 1)))
+                             .alias("__salt"))
+                     .withColumn("__salt", F.col("__salt").cast("int")))
     out_fields = ", ".join(f"`{n}` {t}" for n, t in df.dtypes)
     schema = f"{out_fields}, {out_col} boolean"
-    drop_cols = ["__h", "__shard", "payload"]
+    drop_cols = ["__h", "__shard", "__salt"]
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[bytes, object] = {}
-        for pdf in batches:
-            res = np.zeros(len(pdf), dtype=bool)
-            h = pdf["__h"].to_numpy(dtype=np.int64)
-            for payload, idx in pdf.groupby("payload", dropna=True,
-                                            sort=False).indices.items():
-                key = bytes(payload)
-                sk = cache.get(key)
-                if sk is None:
-                    sk = cache[key] = sketch_from_bytes(key)
-                res[idx] = sk.contains_hashes(h[idx])
-            out = pdf.drop(columns=drop_cols)
-            out[out_col] = res
-            yield out
+    def probe(probe_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(probe_pdf):
+            return probe_pdf.drop(columns=drop_cols).assign(
+                **{out_col: pd.Series([], dtype=bool)})
+        if len(shard_pdf):
+            sk = sketch_from_bytes(bytes(shard_pdf["payload"].iloc[0]))
+            h = probe_pdf["__h"].to_numpy(dtype=np.int64)
+            res = sk.contains_hashes(h)
+        else:                     # no filter for this shard: nothing seen
+            res = np.zeros(len(probe_pdf), dtype=bool)
+        out = probe_pdf.drop(columns=drop_cols)
+        out[out_col] = res
+        return out
 
-    return joined.mapInPandas(probe, schema=schema)
+    return (hashed.groupby("__shard", "__salt")
+            .cogroup(salted_shards.groupby("__shard", "__salt"))
+            .applyInPandas(probe, schema=schema))

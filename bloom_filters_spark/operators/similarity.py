@@ -86,8 +86,19 @@ def kmeans_centroids(df: DataFrame, dim: int, n_centroids: int, *,
 
     At 100 TB the coarse quantizer is always trained on a sample — a
     few-thousand-row sample bounds driver memory regardless of corpus
-    size, and assignment (the expensive part) stays distributed."""
-    pdf = df.select(vec_col).limit(sample_rows).toPandas()
+    size, and assignment (the expensive part) stays distributed.
+
+    The sample is drawn by HASH RANK (`orderBy(xxhash64(vec)).limit`),
+    not `limit(n)`: a bare limit takes the first partitions in layout
+    order, so on a corpus sorted/partitioned by topic the quantizer
+    would train on one slice of the distribution and recall collapses.
+    Hash order is pseudorandom, deterministic, and layout-independent,
+    and Catalyst compiles orderBy+limit to TakeOrderedAndProject
+    (per-partition top-K + driver merge of K rows — no full sort
+    shuffle, driver memory bounded by sample_rows)."""
+    pdf = (df.select(vec_col)
+           .orderBy(F.xxhash64(F.col(vec_col)))
+           .limit(sample_rows).toPandas())
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -161,21 +161,35 @@ def select_token_budget(df: DataFrame, budget_tokens: int, *,
               .withColumn("__ntok", F.size(tokens_col(text_col))))
     ranged = scored.repartitionByRange(
         partitions, F.desc("quality_score"), F.asc(id_col))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(
-        F.desc("quality_score"), F.asc(id_col))
-    local = with_pid.withColumn("__cum", F.sum("__ntok").over(w))
-    totals = sorted(
-        (r["__pid"], r["t"]) for r in
-        with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("t")).collect())
-    offsets, acc = [], 0
-    for pid, t in totals:
-        offsets.append((pid, acc))
-        acc += int(t)
-    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
-    return (local.join(F.broadcast(off_df), "__pid")
-            .where(F.col("__cum") + F.col("__off") <= budget_tokens)
-            .select(*df.columns))
+    # PERSIST before the two downstream actions: repartitionByRange
+    # re-SAMPLES its range bounds on every recomputation, so without a
+    # materialization point the totals job and the final join could see
+    # DIFFERENT partition assignments — broadcast offsets computed for
+    # one partitioning applied to another = wrong cumulative sums.
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    try:
+        w = Window.partitionBy("__pid").orderBy(
+            F.desc("quality_score"), F.asc(id_col))
+        local = with_pid.withColumn("__cum", F.sum("__ntok").over(w))
+        totals = sorted(
+            (r["__pid"], r["t"]) for r in
+            with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("t"))
+            .collect())
+        offsets, acc = [], 0
+        for pid, t in totals:
+            offsets.append((pid, acc))
+            acc += int(t)
+        off_df = df.sparkSession.createDataFrame(offsets,
+                                                 "__pid int, __off long")
+        out = (local.join(F.broadcast(off_df), "__pid")
+               .where(F.col("__cum") + F.col("__off") <= budget_tokens)
+               .select(*df.columns))
+        # materialize the selection while the cumsum input is still
+        # pinned, then release the cache (callers keep a plain result)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        with_pid.unpersist()
+    return out
 
 
 def round_leading_order(x: float) -> int:

@@ -105,6 +105,11 @@ class StreamingShardedDedup:
                                   factory=self._factory(), seed=self.seed)
             merged = self._merge_shards(shards, delta)
             self._write_version(merged)
+        # unpersist BOTH caches: a long-running stream that leaks one
+        # cached DataFrame per micro-batch eventually evicts useful
+        # blocks / OOMs the storage pool
+        if new_rows is not batch_df:
+            new_rows.unpersist()
         batch_df.unpersist()
 
     def _merge_shards(self, shards: DataFrame | None,
@@ -121,12 +126,17 @@ class StreamingShardedDedup:
                 part = sketch_from_bytes(bytes(payload))
                 sk = part if sk is None else sk.merge(part)
                 n += int(rows)
+            # NOTE: under at-least-once batch replay n_rows is an UPPER
+            # BOUND (a replayed batch re-counts), while the Bloom OR
+            # itself is idempotent — membership answers are unaffected.
             return pd.DataFrame({"shard": [pdf["shard"].iloc[0]],
                                  "payload": [sk.to_bytes()],
-                                 "n_rows": [n]})
+                                 "n_rows": [n],
+                                 "n_shards": [pdf["n_shards"].iloc[0]]})
 
         return both.groupBy("shard").applyInPandas(
-            merge_group, schema="shard int, payload binary, n_rows long")
+            merge_group,
+            schema="shard int, payload binary, n_rows long, n_shards int")
 
 
 def run_stream_dedup(stream_df: DataFrame, guard: StreamingShardedDedup,

@@ -265,3 +265,62 @@ def test_sharded_counting_delete(spark, events):
             == keys.count() - n_gone)
     shards.unpersist()
     shards2.unpersist()
+
+def test_sharded_empty_top_shard_routes_correctly(spark):
+    """ADVICE r2 regression: the hash modulus must come from the shard
+    table's n_shards column, NOT max(shard)+1 — with n_shards=64 and a
+    tiny key set, the top shard is often empty and the inferred modulus
+    would mis-route EVERY probe (false negatives → duplicate leaks)."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, probe_sharded, shard_count)
+
+    keys = spark.range(40).select(F.col("id").alias("k"))
+    shards = build_sharded(keys, "k", n_shards=64, p=0.01).cache()
+    built = {r["shard"] for r in shards.collect()}
+    assert len(built) < 64                 # some shards really are empty
+    assert shard_count(shards) == 64       # modulus carried, not inferred
+    probed = probe_sharded(keys, "k", shards)
+    assert probed.where(~F.col("seen")).count() == 0   # no false negatives
+    shards.unpersist()
+
+
+def test_sharded_probe_plan_carries_no_per_row_payload(spark):
+    """VERDICT r2 scale fix: the probe stage must NOT join the shard
+    payload onto every probe row (rows × payload bytes over the Arrow
+    boundary). With the cogroup plan, no per-row node projects a
+    payload column — payload crosses once per (shard, salt) group."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, probe_sharded)
+
+    keys = spark.range(1000).select(F.col("id").alias("k"))
+    shards = build_sharded(keys, "k", n_shards=4, p=0.01)
+    plan = probe_sharded(keys, "k", shards) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "CoGroups" in plan              # the cogroup is the probe stage
+    # no Join node may carry the payload column per probe row
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "payload" not in line, line
+
+
+def test_sharded_remove_1m_keys_single_shard(spark):
+    """VERDICT r2 'done' criterion: removing >=1M keys that all land in
+    ONE shard must stream through the cogroup as ordinary Arrow rows
+    (the old collect_list single-cell array was a 2 GB-limit bomb)."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, probe_sharded,
+        remove_sharded)
+
+    keys = spark.range(1_200_000).select(F.col("id").alias("k"))
+    shards = build_sharded(keys, "k", n_shards=1,
+                           factory=counting_shard_factory(0.01)).cache()
+    shards.count()
+    gone = keys.where("k < 1000000")        # 1M removals, all in shard 0
+    shards2 = remove_sharded(gone, "k", shards).cache()
+    assert (sum(r["n_rows"] for r in shards2.collect())
+            == 1_200_000 - 1_000_000)
+    survivors = keys.where("k >= 1000000")
+    assert probe_sharded(survivors, "k", shards2) \
+        .where(~F.col("seen")).count() == 0
+    shards.unpersist()
+    shards2.unpersist()
