@@ -43,7 +43,7 @@ N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
 # keeping each query's minimum across passes lets the phase shift
 # between a query's samples — the same principle as the scaling job's
 # alternating A/B rounds
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 
 _PAGES_PATH: str | None = None

@@ -166,3 +166,52 @@ def md5_fold(s: str) -> int:
     for c in hexd:
         h = (h * 131 + ord(c)) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+# --- vectorized XXH64 (Spark F.xxhash64 parity for long/int inputs) --------
+# Constants and per-type block logic follow the public xxHash spec as
+# used by Spark's XXH64 (seed 42, streaming one value per expression:
+# hash_n = step(value_n, hash_{n-1}), hash_0 = seed).
+_P64_1 = _U64(0x9E3779B185EBCA87)
+_P64_2 = _U64(0xC2B2AE3D27D4EB4F)
+_P64_3 = _U64(0x165667B19E3779F9)
+_P64_4 = _U64(0x85EBCA77C2B2AE63)
+_P64_5 = _U64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << _U64(r)) | (x >> _U64(64 - r))
+
+
+def _xx_fmix(h: np.ndarray) -> np.ndarray:
+    h = h ^ (h >> _U64(33))
+    h = h * _P64_2
+    h = h ^ (h >> _U64(29))
+    h = h * _P64_3
+    h = h ^ (h >> _U64(32))
+    return h
+
+
+def xxh64_long(value: np.ndarray, seed) -> np.ndarray:
+    """XXH64.hashLong — parity with one LongType input of F.xxhash64.
+    uint64 in/out; ``seed`` may be scalar or array (chained hashing)."""
+    # uint64 wraparound (mod 2^64) is the hash's arithmetic, not an
+    # error — numpy only warns for 0-d scalars, arrays wrap silently
+    with np.errstate(over="ignore"):
+        v = np.atleast_1d(np.asarray(value)).astype(
+            np.int64, copy=False).view(_U64)
+        h = np.asarray(seed, dtype=_U64) + _P64_5 + _U64(8)
+        h = h ^ (_rotl64(v * _P64_2, 31) * _P64_1)
+        h = _rotl64(h, 27) * _P64_1 + _P64_4
+        return _xx_fmix(h)
+
+
+def xxh64_int(value: np.ndarray, seed) -> np.ndarray:
+    """XXH64.hashInt — parity with one IntegerType input of F.xxhash64."""
+    with np.errstate(over="ignore"):
+        v = (np.atleast_1d(np.asarray(value)).astype(
+            np.int64, copy=False).view(_U64) & _U64(0xFFFFFFFF))
+        h = np.asarray(seed, dtype=_U64) + _P64_5 + _U64(4)
+        h = h ^ (v * _P64_1)
+        h = _rotl64(h, 23) * _P64_2 + _P64_3
+        return _xx_fmix(h)

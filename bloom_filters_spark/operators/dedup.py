@@ -28,9 +28,28 @@ embedding-cosine near-dup. Scale notes per operator:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..kernels.hashing import xxh64_int, xxh64_long
 from .textstats import tokens_col
+
+# Which signature kernel neardup_minhash / neardup_simhash use by
+# default. Both produce BIT-IDENTICAL signatures (the numpy kernel
+# replicates JVM xxhash64 exactly — see kernels/hashing.py XXH64):
+#   "hof"   — per-row higher-order `aggregate` expressions: zero
+#             Python, but interpreted (no codegen for HOF lambdas), so
+#             cost is num_perm × tokens interpreted lambda evals/row;
+#   "numpy" — JVM tokenize+hash, then Arrow-batched numpy matrix ops
+#             (one reduceat per permutation): pays the Arrow transfer
+#             of the token-hash arrays, vectorizes everything else.
+# Chosen by the round-3 alternating A/B at sf0.1 (BENCH/sig_ab.json,
+# 3 rounds, min-of-rounds): numpy wins 2.24x on minhash_neardup
+# end-to-end and 2.16x on simhash_neardup, with identical pair counts.
+DEFAULT_SIG_IMPL = "numpy"
 
 
 def _once(col, fn):
@@ -99,8 +118,12 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 # ------------------------------------------------------------ minhash lsh
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_perm: int = 64, bands: int = 16,
-                       seed: int = 0, shingle: int = 1) -> DataFrame:
+                       seed: int = 0, shingle: int = 1,
+                       impl: str | None = None) -> DataFrame:
     """→ (id, band, bucket): LSH band buckets from k-hash MinHash.
+
+    ``impl`` picks the signature kernel ("hof" | "numpy", default
+    ``DEFAULT_SIG_IMPL``); both emit bit-identical signatures.
 
     ZERO-SHUFFLE, 100% JVM: the textbook k-independent-hash MinHash
     ("permutation" j of a token is ``xxhash64(base_hash, j)``), computed
@@ -113,6 +136,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     dropped (no shingles → no signature), matching the explode path."""
     rows = num_perm // bands
     assert bands * rows == num_perm, "bands must divide num_perm"
+    if (impl or DEFAULT_SIG_IMPL) == "numpy":
+        return _minhash_signatures_numpy(df, id_col, text_col, num_perm,
+                                         bands, seed, shingle)
 
     def mins_of(h_arr):
         # num_perm-slot running-min accumulator, one pass over the array
@@ -142,6 +168,102 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                       F.explode(bb).alias("__bb"))
             .select("id", F.col("__bb.band").alias("band"),
                     F.col("__bb.bucket").alias("bucket")))
+
+
+def _hash_arrays_col(df: DataFrame, id_col: str, arr_expr):
+    """(id, __hs array<long>) with empty-array rows dropped — the JVM
+    side of the numpy signature kernels: tokenize + per-token xxhash64
+    stay codegen'd; only 8-byte hash arrays cross the Arrow boundary."""
+    return (df.select(F.col(id_col).alias("id"), arr_expr.alias("__hs"))
+            .where(F.size("__hs") > 0))
+
+
+def _segments(pdf: pd.DataFrame):
+    """Flatten a batch's hash arrays → (flat int64, segment starts)."""
+    lengths = np.fromiter((len(a) for a in pdf["__hs"]), dtype=np.int64,
+                          count=len(pdf))
+    flat = np.concatenate([np.asarray(a, dtype=np.int64)
+                           for a in pdf["__hs"]])
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    return flat, starts, lengths
+
+
+def _minhash_signatures_numpy(df: DataFrame, id_col: str, text_col: str,
+                              num_perm: int, bands: int, seed: int,
+                              shingle: int) -> DataFrame:
+    """numpy kernel for ``minhash_signatures`` — BIT-IDENTICAL buckets.
+
+    Replicates the HOF definition exactly (tested): permutation j of a
+    token hash h is JVM ``xxhash64(h, j)`` = XXH64 hashInt(j,
+    hashLong(h, 42)); hashLong(h, 42) is j-independent, so it is
+    computed once per token and each permutation is one vectorized
+    hashInt + one ``minimum.reduceat`` over the batch's flattened
+    token-hash array. The band fold is the XXH64 array fold
+    (hashLong-chained, seed 42), matching ``F.xxhash64(slice(...))``."""
+    rows = num_perm // bands
+    hs = F.transform(shingles_col(text_col, shingle),
+                     lambda t: F.xxhash64(t, F.lit(seed)))
+    base = _hash_arrays_col(df, id_col, hs)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat, starts, _ = _segments(pdf)
+            hl = xxh64_long(flat, np.uint64(42))        # j-independent
+            n = len(pdf)
+            mins = np.empty((num_perm, n), dtype=np.int64)
+            for j in range(num_perm):
+                ph = xxh64_int(np.int64(j), hl).view(np.int64)
+                mins[j] = np.minimum.reduceat(ph, starts)
+            buckets = np.empty((bands, n), dtype=np.int64)
+            for b in range(bands):
+                acc = np.full(n, 42, dtype=np.uint64)
+                for r in range(rows):
+                    acc = xxh64_long(mins[b * rows + r], acc)
+                buckets[b] = acc.view(np.int64)
+            ids = np.repeat(pdf["id"].to_numpy(), bands)
+            yield pd.DataFrame({
+                "id": ids,
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "bucket": buckets.T.reshape(-1)})
+
+    return base.mapInPandas(sig, schema="id long, band int, bucket long")
+
+
+def _simhash_signatures_numpy(df: DataFrame, id_col: str, text_col: str,
+                              seed: int) -> DataFrame:
+    """numpy kernel for ``simhash_signatures`` — BIT-IDENTICAL.
+
+    Same vote rule as the HOF expression (bit b set iff
+    2·ones_b > n_tokens). Votes are summed ONE BIT AT A TIME (64
+    shift-mask-reduceat passes over the flattened token-hash array):
+    materializing the full (total_tokens, 64) bit matrix instead costs
+    ~512 bytes per token — gigabytes of transient allocation per Arrow
+    batch at realistic batch sizes, which the round-3 A/B measured as
+    a 3-14x slowdown from allocator/memory pressure."""
+    hs = F.transform(tokens_col(text_col),
+                     lambda t: F.xxhash64(t, F.lit(seed)))
+    base = _hash_arrays_col(df, id_col, hs)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            flat, starts, lengths = _segments(pdf)
+            u = flat.view(np.uint64)
+            sig64 = np.zeros(len(pdf), dtype=np.uint64)
+            for b in range(64):
+                ones = np.add.reduceat(
+                    ((u >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                    starts)
+                sig64 |= ((2 * ones > lengths).astype(np.uint64)
+                          << np.uint64(b))
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(),
+                                "simhash": sig64.view(np.int64)})
+
+    return base.mapInPandas(sig, schema="id long, simhash long")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame,
@@ -196,9 +318,15 @@ def lsh_bucket_stats(sig_df: DataFrame, bucket_cap: int,
 def verify_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                    text_col: str, threshold: float,
                    shingle: int = 1) -> DataFrame:
-    """Exact shingle-set jaccard on candidate pairs → no false positives."""
-    toks = df.select(F.col(id_col).alias("vid"),
-                     shingles_col(text_col, shingle).alias("vtoks"))
+    """Exact shingle-set jaccard on candidate pairs → no false positives.
+
+    The shingle table is repartitioned on its id ONCE: both pair-side
+    joins need it hashed on the same key, so Catalyst reuses a single
+    Exchange (one tokenization scan feeds both sides) instead of
+    re-inlining the tokenization subplan into each join input."""
+    toks = (df.select(F.col(id_col).alias("vid"),
+                      shingles_col(text_col, shingle).alias("vtoks"))
+            .repartition(F.col("vid")))
     j = (pairs
          .join(toks.withColumnRenamed("vid", "id1")
                .withColumnRenamed("vtoks", "t1"), "id1")
@@ -215,12 +343,13 @@ def neardup_minhash(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", threshold: float = 0.8,
                     num_perm: int = 64, bands: int = 16,
                     seed: int = 0, shingle: int = 1,
-                    bucket_cap: int | None = None) -> DataFrame:
+                    bucket_cap: int | None = None,
+                    impl: str | None = None) -> DataFrame:
     """MinHash-LSH near-dup pairs, exactly verified. → (id1, id2, jaccard).
     Candidate generation and exact verification use the SAME shingling.
     ``bucket_cap`` bounds hot-bucket blowup (see lsh_candidate_pairs)."""
     sig = minhash_signatures(df, id_col, text_col, num_perm, bands, seed,
-                             shingle=shingle)
+                             shingle=shingle, impl=impl)
     cands = lsh_candidate_pairs(sig, bucket_cap=bucket_cap)
     return verify_jaccard(df, cands, id_col, text_col, threshold,
                           shingle=shingle)
@@ -228,8 +357,11 @@ def neardup_minhash(df: DataFrame, id_col: str = "doc_id",
 
 # ---------------------------------------------------------------- simhash
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       seed: int = 0) -> DataFrame:
-    """64-bit SimHash per doc — ZERO-SHUFFLE, 100% JVM.
+                       seed: int = 0, impl: str | None = None) -> DataFrame:
+    """64-bit SimHash per doc — zero-shuffle.
+
+    ``impl`` picks the kernel ("hof" | "numpy", default
+    ``DEFAULT_SIG_IMPL``); both emit bit-identical signatures.
 
     Per-bit vote counts come from one higher-order ``aggregate`` pass
     over the row's token-hash array with a 64-slot accumulator
@@ -240,6 +372,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
     complement). Signatures are bit-identical to the previous
     numpy-kernel implementation (same base hash, same vote rule); docs
     with no tokens are dropped, matching the explode path."""
+    if (impl or DEFAULT_SIG_IMPL) == "numpy":
+        return _simhash_signatures_numpy(df, id_col, text_col, seed)
+
     def votes_of(h_arr):
         # 64-slot vote accumulator, one pass over the array.
         # call_function passes COLUMN shift amounts (the F.shift*
@@ -282,7 +417,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
 def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", max_hamming: int = 7,
                     chunks: int = 8, seed: int = 0,
-                    bucket_cap: int | None = None) -> DataFrame:
+                    bucket_cap: int | None = None,
+                    impl: str | None = None) -> DataFrame:
     """SimHash near-dup pairs within ``max_hamming`` bits.
 
     Banding into ``chunks`` equal bit-chunks is pigeonhole-COMPLETE for
@@ -297,7 +433,7 @@ def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
     (chunk, val) rows to account for the loss."""
     assert max_hamming < chunks <= 64 and 64 % chunks == 0
     width = 64 // chunks
-    sig = simhash_signatures(df, id_col, text_col, seed)
+    sig = simhash_signatures(df, id_col, text_col, seed, impl=impl)
     # bind the signature once and explode (chunk, val, sig) structs:
     # referencing the simhash column per chunk would re-inline the
     # whole HOF signature expression into every chunk (Catalyst

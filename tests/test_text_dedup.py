@@ -291,3 +291,23 @@ def test_sampling_operators(spark):
     t2 = sp.stratified_take(df.repartition(5), ["g"], 17, key_col="k")
     assert ({tuple(r) for r in t1.collect()}
             == {tuple(r) for r in t2.collect()})
+
+
+def test_signature_kernels_bit_identical(spark, docs):
+    """The numpy signature kernels must replicate the HOF expressions
+    EXACTLY (same JVM xxhash64 semantics re-implemented vectorized —
+    kernels/hashing.py XXH64): bucket ids and simhash words match
+    bit-for-bit, so `impl=` is a pure performance knob."""
+    from bloom_filters_spark.operators import dedup as dd
+
+    for shingle in (1, 3):
+        a = dd.minhash_signatures(docs, "doc_id", "text", 32, 8, 0,
+                                  shingle, impl="hof")
+        b = dd.minhash_signatures(docs, "doc_id", "text", 32, 8, 0,
+                                  shingle, impl="numpy")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+    sa = dd.simhash_signatures(docs, "doc_id", "text", impl="hof")
+    sb = dd.simhash_signatures(docs, "doc_id", "text", impl="numpy")
+    assert sa.exceptAll(sb).count() == 0
+    assert sb.exceptAll(sa).count() == 0
