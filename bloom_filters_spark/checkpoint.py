@@ -40,6 +40,40 @@ from .operators.agg import hash_col
 _LINEAGE_SCHEMA = ("sketch_id string, shard int, attempt long, n_rows long, "
                    "source string, created_ts timestamp, payload binary")
 
+# The documented Iceberg DDL this lineage table maps onto 1:1 — the
+# production form of the checkpoint store (every type below is the
+# exact Iceberg type Spark's writeTo(...).append() produces for the
+# corresponding Spark type; asserted by tests/test_checkpoint_streaming
+# test_iceberg_schema_contract so the "swap the writer" claim is a
+# tested contract, not prose). Partitioning by shard gives resume's
+# per-shard reads partition pruning for free.
+ICEBERG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
+  sketch_id  string,
+  shard      int,
+  attempt    long,
+  n_rows     long,
+  source     string,
+  created_ts timestamp,
+  payload    binary
+) USING iceberg PARTITIONED BY (shard)"""
+
+# Iceberg type -> Spark DDL type for the contract test
+_ICEBERG_TO_SPARK = {"string": "string", "int": "int", "long": "bigint",
+                     "timestamp": "timestamp", "binary": "binary"}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime jars are on the classpath
+    (sandbox has none; a cluster with --packages
+    org.apache.iceberg:iceberg-spark-runtime-* returns True and the
+    checkpoint store writes through writeTo(...).append())."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
 
 def _shard_col(col: str, n_shards: int, seed: int):
     return F.pmod(F.xxhash64(F.col(col), F.lit(seed + 7919)), F.lit(n_shards))
@@ -75,16 +109,39 @@ def _build_shard_partials(df: DataFrame, col: str, factory: Callable,
 
 
 class SketchCheckpoint:
-    """Checkpointed sketch builds over a parquet lineage table."""
+    """Checkpointed sketch builds over an append-only lineage table.
+
+    Store backends: parquet directory (default; the sandbox has no
+    Iceberg jars) or an Iceberg table when ``iceberg_table`` is given
+    and the runtime is on the classpath — same schema (ICEBERG_DDL),
+    same append-only semantics, so resume logic is backend-agnostic."""
 
     def __init__(self, spark: SparkSession, checkpoint_dir: str,
-                 n_shards: int = 64, seed: int = 0):
+                 n_shards: int = 64, seed: int = 0,
+                 iceberg_table: str | None = None):
         self.spark = spark
         self.dir = checkpoint_dir
         self.n_shards = int(n_shards)
         self.seed = int(seed)
+        self.iceberg_table = iceberg_table
+        if iceberg_table is not None:
+            if not iceberg_available(spark):
+                raise RuntimeError(
+                    "iceberg_table given but no Iceberg runtime on the "
+                    "classpath (add --packages org.apache.iceberg:"
+                    "iceberg-spark-runtime-...)")
+            spark.sql(ICEBERG_DDL.format(table=iceberg_table))
+
+    def _append(self, df: DataFrame) -> None:
+        if self.iceberg_table is not None:
+            df.writeTo(self.iceberg_table).append()
+        else:
+            df.write.mode("append").parquet(self.dir)
 
     def _table(self) -> DataFrame | None:
+        if self.iceberg_table is not None:
+            t = self.spark.read.table(self.iceberg_table)
+            return t if t.limit(1).count() else None
         if not os.path.isdir(self.dir):
             return None
         try:
@@ -100,7 +157,7 @@ class SketchCheckpoint:
         partials = _build_shard_partials(
             df, col, factory, sketch_id, shards, self.n_shards, self.seed,
             attempt, source, value_based)
-        partials.write.mode("append").parquet(self.dir)
+        self._append(partials)
         requested = set(range(self.n_shards)) if shards is None else set(shards)
         written = self.surviving_shards(sketch_id, attempt=attempt)
         empty = sorted(requested - written)
@@ -108,8 +165,7 @@ class SketchCheckpoint:
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             rows = [(sketch_id, int(s), attempt, 0, source, now,
                      bytearray(factory().to_bytes())) for s in empty]
-            self.spark.createDataFrame(rows, _LINEAGE_SCHEMA) \
-                .write.mode("append").parquet(self.dir)
+            self._append(self.spark.createDataFrame(rows, _LINEAGE_SCHEMA))
 
     def build(self, df: DataFrame, col: str, factory: Callable,
               sketch_id: str, *, source: str = "", value_based: bool = False,
