@@ -90,6 +90,21 @@ class InvertibleBloomSketch:
             self.key_xor ^ other.key_xor, self.chk_xor ^ other.chk_xor,
             self.n_inserted - other.n_inserted)
 
+    def get_value(self, idx: int):
+        """Single-cell point lookup (reference getValue,
+        InvertibleBloomFilter.hpp:179-185): a PURE cell (|count| == 1
+        and the checksum matches) yields its key hash; any other cell
+        holds an XOR of several keys and is unreadable — returns None.
+        ``peel`` is the iterated closure of this accessor."""
+        if not (0 <= idx < self.m):
+            raise IndexError(f"cell {idx} out of range [0, {self.m})")
+        if abs(int(self.count[idx])) != 1:
+            return None
+        key = self.key_xor[idx].reshape(1).astype(_U64)
+        if _check(key)[0] != self.chk_xor[idx]:
+            return None
+        return int(key[0])
+
     def peel(self, max_iters: int = 10_000):
         """Recover (key_hash, sign) pairs; the distributed getAllValues.
         Returns (recovered_uint64s, signs, fully_decoded)."""

@@ -55,3 +55,57 @@ def test_digest_folds_deterministic():
     assert md5_fold("User29") == md5_fold("User29")
     assert sha256_fold("User29") != sha256_fold("User30")
     assert md5_fold("User29") != md5_fold("User30")
+
+
+def test_xxh64_spark_parity(spark):
+    """The vectorized numpy XXH64 must match JVM F.xxhash64 on every
+    shape the signature kernels use: single long, long+int chain
+    (minhash permutations), and array<long> fold (band buckets)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from bloom_filters_spark.kernels.hashing import xxh64_int, xxh64_long
+
+    vals = [0, 1, -1, 2**62, -(2**63), 123456789, 42]
+    df = spark.createDataFrame([(v,) for v in vals], "h long")
+    got = [r[0] for r in df.select(F.xxhash64("h")).collect()]
+    exp = xxh64_long(np.array(vals), np.uint64(42)).view(np.int64).tolist()
+    assert got == exp
+
+    pairs = [(v, j) for v in vals for j in (0, 5, 63)]
+    df2 = spark.createDataFrame(pairs, "h long, j int")
+    got2 = [r[0] for r in df2.select(F.xxhash64("h", "j")).collect()]
+    hv = np.array([p[0] for p in pairs])
+    jv = np.array([p[1] for p in pairs])
+    exp2 = xxh64_int(jv, xxh64_long(hv, np.uint64(42))) \
+        .view(np.int64).tolist()
+    assert got2 == exp2
+
+    arrs = [[1, 2, 3], [-5, 7, 2**60]]
+    df3 = spark.createDataFrame([(a,) for a in arrs], "a array<long>")
+    got3 = [r[0] for r in df3.select(F.xxhash64("a")).collect()]
+    for a, g in zip(arrs, got3):
+        h = np.full(1, 42, dtype=np.uint64)
+        for x in a:
+            h = xxh64_long(np.array([x]), h)
+        assert int(h.view(np.int64)[0]) == g
+
+
+def test_ibf_get_value_point_lookup():
+    """K10 getValue (InvertibleBloomFilter.hpp:179-185): pure cells
+    yield an inserted key hash, impure cells yield None, out-of-range
+    raises."""
+    import numpy as np
+    import pytest as _pt
+    from bloom_filters_spark.kernels import InvertibleBloomSketch
+
+    ibf = InvertibleBloomSketch(64, 3)
+    keys = np.arange(1, 6, dtype=np.int64) * 7919
+    ibf.update_hashes(keys)
+    inserted = {int(k) & 0xFFFFFFFFFFFFFFFF for k in keys}
+    vals = [ibf.get_value(i) for i in range(ibf.m)]
+    found = [v for v in vals if v is not None]
+    assert found and all(v in inserted for v in found)
+    empty = InvertibleBloomSketch(64, 3)
+    assert all(empty.get_value(i) is None for i in range(64))
+    with _pt.raises(IndexError):
+        ibf.get_value(64)

@@ -311,3 +311,47 @@ def test_signature_kernels_bit_identical(spark, docs):
     sb = dd.simhash_signatures(docs, "doc_id", "text", impl="numpy")
     assert sa.exceptAll(sb).count() == 0
     assert sb.exceptAll(sa).count() == 0
+
+
+def test_ivf_quantizer_sample_layout_independent(spark):
+    """VERDICT r2 item 5: the IVF coarse quantizer trains on a HASH-RANK
+    sample, so a corpus physically sorted by cluster (the 100TB layout
+    trap — limit(n) would sample one cluster slice) must keep recall at
+    n_probe < n_centroids at least as good as the shuffled layout."""
+    import numpy as np
+    from bloom_filters_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 4
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(300):
+            v = centers[c] + rng.standard_normal(16) * 0.3
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>")
+    queries = df.where("vec_id % 97 = 0").withColumnRenamed(
+        "vec_id", "query_id").select("query_id", "embedding")
+    exact = sim.ann_topk_bruteforce(
+        df.select("vec_id", "embedding"), queries, k=5,
+        qid_col="query_id")
+    exact_set = {(r["query_id"], r["neighbor_id"])
+                 for r in exact.collect()}
+
+    def recall(corpus):
+        got = sim.ann_topk_ivf(corpus, queries, dim=16, k=5,
+                               qid_col="query_id", n_centroids=8,
+                               n_probe=2, sample_rows=400, seed=3)
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        return len(hits & exact_set) / len(exact_set)
+
+    # sorted-by-cluster, single partition order preserved = the
+    # adversarial layout; repartition = the random layout
+    sorted_corpus = df.orderBy("cluster", "vec_id").coalesce(1) \
+        .select("vec_id", "embedding")
+    random_corpus = df.repartition(8).select("vec_id", "embedding")
+    r_sorted, r_random = recall(sorted_corpus), recall(random_corpus)
+    assert r_sorted >= 0.8, r_sorted
+    assert r_sorted >= r_random - 0.05, (r_sorted, r_random)
