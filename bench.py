@@ -216,6 +216,52 @@ def q_prepare_corpus(spark, sf_dir):
     return out.count()
 
 
+_SHARD_CACHE: dict = {}
+
+
+def _sharded_probe_timed(spark, sf_dir, capacity: int):
+    """Probe 600k keys against 4 hash-range shards whose per-shard
+    Bloom is sized for ``capacity`` keys (capacity 14M → ~16MB payload
+    per shard). With the cogroup probe plan each payload crosses the
+    Arrow boundary once per (shard, salt) group — so probe wall time
+    must be FLAT in payload size (the r2 per-row join carried
+    rows × payload bytes and died right here). The shard build is
+    cached across bench passes (min-of-passes therefore times the
+    PROBE, which is what the flatness claim is about — the build
+    legitimately costs more at 10x the bit-array size)."""
+    from bloom_filters_spark.kernels import BloomSketch
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, probe_sharded)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = li.select(F.col("l_orderkey").alias("k"))
+    if capacity not in _SHARD_CACHE:
+        shards = build_sharded(
+            keys.distinct(), "k", n_shards=4,
+            factory=lambda cap: BloomSketch.from_capacity(capacity, 0.01)
+        ).cache()
+        shards.count()
+        _SHARD_CACHE[capacity] = shards
+    shards = _SHARD_CACHE[capacity]
+    payload_mb = round(sum(r["n"] for r in shards.select(
+        F.length("payload").alias("n")).collect()) / 4 / 2**20, 1)
+    fn = probe_sharded(keys, "k", shards, n_salts=2) \
+        .where(~F.col("seen")).count()
+    assert fn == 0, f"false negatives: {fn}"
+    return payload_mb
+
+
+def q_sharded_probe_small(spark, sf_dir):
+    """Baseline for the payload-flatness A/B: ~1.6MB shards."""
+    return _sharded_probe_timed(spark, sf_dir, 1_400_000)
+
+
+def q_sharded_probe_16mb(spark, sf_dir):
+    """~16MB shards — same probe count; wall time must stay ~flat vs
+    q_sharded_probe_small (payload crosses once per group, not per
+    row)."""
+    return _sharded_probe_timed(spark, sf_dir, 14_000_000)
+
+
 def q_tokens_topk(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
@@ -256,6 +302,8 @@ QUERIES = {
     "ngram_jaccard_guarded": q_ngram_jaccard_guarded,
     "simhash_neardup": q_simhash_neardup,
     "prepare_corpus": q_prepare_corpus,
+    "sharded_probe_small": q_sharded_probe_small,
+    "sharded_probe_16mb": q_sharded_probe_16mb,
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
