@@ -4,6 +4,7 @@ from .agg import (build_grouped_sketches, build_sketch, cms_lookup,
 from .collisions import (absolute_collisions, collision_sweep_k,
                          collision_sweep_m, probe_indices,
                          relative_collisions)
+from .joins import bloom_antijoin, bloom_semijoin
 from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     lsh_candidate_pairs, minhash_signatures, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
@@ -28,4 +29,5 @@ __all__ = [
     "successor", "predecessor", "top_k_by_count", "distinct_count",
     "probe_indices", "relative_collisions", "absolute_collisions",
     "collision_sweep_k", "collision_sweep_m",
+    "bloom_semijoin", "bloom_antijoin",
 ]
