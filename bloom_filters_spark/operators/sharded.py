@@ -27,7 +27,9 @@ never once per probe row. No filter ever exceeds shard-sized memory
 anywhere.
 
 The per-shard sketch is any membership sketch following the aggregator
-protocol (Bloom by default; CountingBloom for deletable shards).
+protocol (Bloom by default; CountingBloom or Cuckoo for deletable
+shards — cuckoo trades the counting shard's ~9.6 bytes/key for
+~2-4 bytes/key of fingerprint state).
 """
 
 from __future__ import annotations
@@ -38,7 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..kernels import BloomSketch, CountingBloomSketch, sketch_from_bytes
+from ..kernels import (BloomSketch, CountingBloomSketch, CuckooFilter,
+                       sketch_from_bytes)
 from ..kernels.bloom import optimal_k, optimal_m
 from .agg import hash_col
 
@@ -52,6 +55,27 @@ def counting_shard_factory(p: float = 0.01):
     def make(cap: int) -> CountingBloomSketch:
         m = optimal_m(max(1024, cap), p)
         return CountingBloomSketch(m, optimal_k(m, max(1024, cap)))
+    return make
+
+
+def cuckoo_shard_factory(headroom: float = 1.3):
+    """Per-shard CUCKOO filter factory for ``build_sharded`` —
+    deletable shards at ~2-4 bytes/key (a counting-Bloom shard at
+    p=0.01 carries ~9.6 byte-counters/key: cuckoo delete state is
+    ~3-5x smaller), reference semantics (insert/exists/remove,
+    CuckooFilter.hpp K11-K13) at shard scale via the same cogroup
+    probe/remove plans.
+
+    Feed DISTINCT keys: duplicate inserts occupy extra slots and can
+    exceed the kick bound (the kernel raises rather than silently
+    dropping — no false negatives, ever). ``headroom`` over-provisions
+    buckets beyond the observed per-shard count so the random-walk
+    insert stays comfortably below the bound (pow2 bucket rounding
+    usually adds more). Cuckoo remove is exact-by-fingerprint: remove
+    only keys that were inserted (standard cuckoo contract,
+    matching the reference's remove)."""
+    def make(cap: int) -> CuckooFilter:
+        return CuckooFilter(capacity=int(max(1024, cap) * headroom))
     return make
 
 
@@ -121,8 +145,8 @@ def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
                    seed: int = 0) -> DataFrame:
     """→ a NEW shard table with ``df``'s keys removed (decremented).
 
-    Requires counting-Bloom shards (``counting_shard_factory``): plain
-    Bloom shards cannot delete. Plan: hash + shard the removal keys,
+    Requires deletable shards (``counting_shard_factory`` or
+    ``cuckoo_shard_factory``): plain Bloom shards cannot delete. Plan: hash + shard the removal keys,
     COGROUP them with the shard payloads on shard id (one shuffle of
     the removal hashes — the analogue of the build shuffle), decrement
     per shard in one numpy pass. Removal hashes stream into the group
@@ -148,8 +172,10 @@ def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
         removed = 0
         if len(rem_pdf):
             arr = rem_pdf["__h"].to_numpy(dtype=np.int64)
-            sk.remove_hashes(arr)
-            removed = arr.size
+            res = sk.remove_hashes(arr)
+            # cuckoo reports per-item success (a never-inserted key may
+            # find no fingerprint); counting decrements unconditionally
+            removed = int(np.sum(res)) if res is not None else arr.size
         return pd.DataFrame({
             "shard": shard_pdf["shard"].iloc[:1],
             "payload": [sk.to_bytes()],

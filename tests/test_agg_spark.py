@@ -324,3 +324,37 @@ def test_sharded_remove_1m_keys_single_shard(spark):
         .where(~F.col("seen")).count() == 0
     shards.unpersist()
     shards2.unpersist()
+
+
+def test_sharded_cuckoo_delete(spark, events):
+    """Cuckoo shards: the deletable-shard story at ~2-4 bytes/key.
+    Same contract as the counting shards — survivors never probe
+    absent, removed keys drop to the fingerprint-collision rate — plus
+    the size claim: the cuckoo shard table must be several times
+    smaller than the counting one over the same keys."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, cuckoo_shard_factory,
+        probe_sharded, remove_sharded)
+
+    keys = events.select("user_id").distinct()
+    shards = build_sharded(keys, "user_id", n_shards=8,
+                           factory=cuckoo_shard_factory()).cache()
+    shards.count()
+    gone = keys.where("user_id % 3 = 0")
+    shards2 = remove_sharded(gone, "user_id", shards).cache()
+    survivors = keys.where("user_id % 3 <> 0")
+    assert probe_sharded(survivors, "user_id", shards2) \
+        .where(~F.col("seen")).count() == 0          # no false negatives
+    n_gone = gone.count()
+    still = probe_sharded(gone, "user_id", shards2).where("seen").count()
+    assert still / n_gone <= 0.05                    # fp-collision residue
+    assert (sum(r["n_rows"] for r in shards2.collect())
+            == keys.count() - n_gone)                # accounting exact
+
+    counting = build_sharded(keys, "user_id", n_shards=8,
+                             factory=counting_shard_factory(0.01))
+    size = lambda t: sum(r["n"] for r in t.select(
+        F.length("payload").alias("n")).collect())
+    assert size(shards) * 2 < size(counting)
+    shards.unpersist()
+    shards2.unpersist()
