@@ -59,3 +59,26 @@ def top_k_by_count(df: DataFrame, group_col, k: int = 20) -> DataFrame:
 def distinct_count(df: DataFrame, col: str) -> int:
     """A1-A3 exact distinct (Bloom_project/src/core/Utils.cpp:29-74)."""
     return df.select(col).distinct().count()
+
+
+def exact_membership(df: DataFrame, col: str, probes: DataFrame,
+                     probe_col: str | None = None,
+                     out_col: str = "present") -> DataFrame:
+    """O3/O4: the reference's EXACT membership baselines (skip list /
+    linked list ``exists``, Bloom_project/src/data_structures/
+    MyLinkedList.hpp:92-101, SkipList.hpp) as their Spark-first
+    equivalent: probe keys against the exact key set via a left join
+    on distinct keys — no sketch, no error, the ground truth the
+    probabilistic probes are benchmarked against (the reference races
+    linked-list scans vs Bloom probes the same way).
+
+    Plan: distinct(keys) is an exact shuffle dedup; the probe join
+    broadcasts whichever side is small (AQE). O(n) per probe in the
+    reference becomes O(1) amortized per probe here — the relational
+    layout IS the better data structure at scale."""
+    probe_col = probe_col or col
+    keys = (df.where(F.col(col).isNotNull())
+            .select(F.col(col).alias(probe_col)).distinct()
+            .withColumn(out_col, F.lit(True)))
+    return (probes.join(keys, on=probe_col, how="left")
+            .na.fill({out_col: False}))

@@ -358,3 +358,27 @@ def test_sharded_cuckoo_delete(spark, events):
     assert size(shards) * 2 < size(counting)
     shards.unpersist()
     shards2.unpersist()
+
+
+def test_exact_membership_baseline_vs_bloom(spark, events):
+    """O3/O4: the exact-membership baseline must agree with ground
+    truth everywhere, and the Bloom probe must agree with it on all
+    members (no false negatives) — the reference's linked-list-vs-
+    Bloom benchmark pair, relationally."""
+    from bloom_filters_spark.kernels import BloomSketch
+    from bloom_filters_spark.operators.agg import (
+        build_sketch, probe_membership)
+    from bloom_filters_spark.operators.relational import exact_membership
+
+    keys = events.select("user_id").distinct()
+    probes = spark.range(0, 3000).select(F.col("id").alias("user_id"))
+    exact = exact_membership(events, "user_id", probes)
+    truth = {r["user_id"] for r in keys.collect()}
+    for r in exact.collect():
+        assert r["present"] == (r["user_id"] in truth)
+
+    sk, _ = build_sketch(keys, "user_id",
+                         lambda: BloomSketch.from_capacity(10_000, 0.01))
+    both = exact_membership(events, "user_id", probes).join(
+        probe_membership(probes, "user_id", sk), "user_id")
+    assert both.where("present AND NOT seen").count() == 0
