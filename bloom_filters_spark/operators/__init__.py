@@ -10,7 +10,8 @@ from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
                     verify_jaccard)
 from .relational import (count_nonempty, count_rows, distinct_count,
-                         predecessor, sort_limit, successor, top_k_by_count)
+                         exact_membership, predecessor, sort_limit,
+                         successor, top_k_by_count)
 from .similarity import (ann_topk_bruteforce, ann_topk_lsh,
                          hyperplane_signatures)
 from .textstats import (tokenize, tokens_col, with_fingerprint, with_lang_id,
@@ -27,6 +28,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_lang_id",
     "with_fingerprint", "sort_limit", "count_rows", "count_nonempty",
     "successor", "predecessor", "top_k_by_count", "distinct_count",
+    "exact_membership",
     "probe_indices", "relative_collisions", "absolute_collisions",
     "collision_sweep_k", "collision_sweep_m",
     "bloom_semijoin", "bloom_antijoin",
