@@ -107,18 +107,16 @@ def q_s4_sort_limit(spark, sf_dir):
             .limit(20).select("o_orderkey", "o_totalprice"))
 
 
-def q_s5_count_rows(spark, sf_dir):
-    """S5/A4: COUNT(*) (Bloom_project/src/core/Bloom_project.cpp:3804-3815)."""
-    return _t(spark, sf_dir, "lineitem").agg(
+def q_s5_p4_counts(spark, sf_dir):
+    """S5/A4 + P4: COUNT(*) and the non-empty-text predicate count in
+    one oracle row (Bloom_project/src/core/Bloom_project.cpp:3804-3815,
+    :4777-4783)."""
+    n_rows = _t(spark, sf_dir, "lineitem").agg(
         F.count("*").alias("n_rows"))
-
-
-def q_p4_count_nonempty(spark, sf_dir):
-    """P4: non-empty predicate count
-    (Bloom_project/src/core/Bloom_project.cpp:4777-4783)."""
-    docs = _t(spark, sf_dir, "documents")
-    return (docs.where(F.length("text") > 0)
-            .agg(F.count("*").alias("n_nonempty")))
+    n_nonempty = (_t(spark, sf_dir, "documents")
+                  .where(F.length("text") > 0)
+                  .agg(F.count("*").alias("n_nonempty")))
+    return n_rows.crossJoin(n_nonempty)
 
 
 def q_tokens_topk(spark, sf_dir):
@@ -140,18 +138,30 @@ def q_tokens_topk_by_lang(spark, sf_dir):
             .where("rnk <= 3").select("lang", "token", "cnt", "rnk"))
 
 
-def q_a2_distinct_tokens(spark, sf_dir):
-    """A2: exact distinct lowercase tokens
-    (Bloom_project/src/core/Utils.cpp:52-74)."""
+def q_a2_a3_distinct(spark, sf_dir):
+    """A2 + A3: exact distinct lowercase tokens and exact distinct
+    users (the streaming-dedup counter analogue) in one oracle row
+    (Bloom_project/src/core/Utils.cpp:52-74, Bloom_project.cpp:
+    1376-1378)."""
     docs = _t(spark, sf_dir, "documents")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
-    return toks.agg(F.countDistinct("token").alias("n_distinct"))
+    a2 = toks.agg(F.countDistinct("token").alias("n_distinct_tokens"))
+    a3 = _t(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("n_distinct_users"))
+    return a2.crossJoin(a3)
 
 
-def q_a3_distinct_users(spark, sf_dir):
-    """A3: exact distinct (streaming-dedup counter analogue)."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.agg(F.countDistinct("user_id").alias("n_distinct"))
+def q_exact_membership(spark, sf_dir):
+    """O3/O4: the reference's EXACT membership baselines (linked-list /
+    skip-list ``exists``, Bloom_project/src/data_structures/
+    MyLinkedList.hpp:92-101, SkipList.hpp:61-99) as a relational probe
+    join — the ground truth the Bloom/cuckoo probes are scored
+    against. Fully SQL-expressible, so the oracle is the real thing."""
+    from bloom_filters_spark.operators.relational import exact_membership
+    orders = _t(spark, sf_dir, "orders")
+    probes = spark.range(7400, 7600).select(
+        F.col("id").alias("o_orderkey"))
+    return exact_membership(orders, "o_orderkey", probes)
 
 
 def q_o1_o2_neighbors(spark, sf_dir):
@@ -454,29 +464,44 @@ def q_sharded_delete(spark, sf_dir):
     without rebuilding (K8's delete semantics at sharded scale).
     Remove all 'F'-status order keys from the shard table; every
     survivor still probes present (exact counter arithmetic — zero
-    false negatives) and removed keys probe absent modulo the FP rate."""
+    false negatives) and removed keys probe absent modulo the FP rate.
+    The same contract is then replayed over CUCKOO shards
+    (``cuckoo_shard_factory`` — deletable state at ~2-4 bytes/key vs
+    ~9.6 counter-bytes/key, reference CuckooFilter.hpp K11-K13 at
+    shard scale), and the cuckoo shard table must be smaller than the
+    counting one over the same keys."""
     from bloom_filters_spark.operators.sharded import (
-        build_sharded, counting_shard_factory, probe_sharded,
-        remove_sharded)
+        build_sharded, counting_shard_factory, cuckoo_shard_factory,
+        probe_sharded, remove_sharded)
     orders = _t(spark, sf_dir, "orders")
     keys = orders.select("o_orderkey").distinct()
-    shards = build_sharded(keys, "o_orderkey", n_shards=16,
-                           factory=counting_shard_factory(0.01)).cache()
-    shards.count()
     gone = orders.where("o_orderstatus = 'F'") \
         .select("o_orderkey").distinct()
-    shards2 = remove_sharded(gone, "o_orderkey", shards).cache()
     survivors = keys.join(gone, "o_orderkey", "left_anti")
-    fn = probe_sharded(survivors, "o_orderkey", shards2) \
-        .where(~F.col("seen")).count()
-    still = probe_sharded(gone, "o_orderkey", shards2) \
-        .where("seen").count()
     n_gone = gone.count()
-    shards.unpersist()
-    shards2.unpersist()
+
+    def delete_contract(factory):
+        shards = build_sharded(keys, "o_orderkey", n_shards=16,
+                               factory=factory).cache()
+        shards.count()
+        shards2 = remove_sharded(gone, "o_orderkey", shards).cache()
+        fn = probe_sharded(survivors, "o_orderkey", shards2) \
+            .where(~F.col("seen")).count()
+        still = probe_sharded(gone, "o_orderkey", shards2) \
+            .where("seen").count()
+        size = sum(r["n"] for r in shards.select(
+            F.length("payload").alias("n")).collect())
+        shards.unpersist()
+        shards2.unpersist()
+        return int(fn), bool(still / max(n_gone, 1) <= 0.05), size
+
+    fn_c, ok_c, size_counting = delete_contract(counting_shard_factory(0.01))
+    fn_k, ok_k, size_cuckoo = delete_contract(cuckoo_shard_factory())
     return spark.createDataFrame(
-        [(int(fn), bool(still / max(n_gone, 1) <= 0.05))],
-        "false_negatives long, removed_mostly_absent boolean")
+        [(fn_c, ok_c, fn_k, ok_k, bool(size_cuckoo < size_counting))],
+        "false_negatives long, removed_mostly_absent boolean, "
+        "cuckoo_false_negatives long, cuckoo_removed_mostly_absent boolean, "
+        "cuckoo_smaller boolean")
 
 
 def q_ibf_recover(spark, sf_dir):
@@ -1027,15 +1052,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_bounds": q_hll_bounds,
         "quantile_bounds": q_quantile_bounds,
         "ibf_recover": q_ibf_recover,
+        "exact_membership": q_exact_membership,
+        "bloom_join": q_bloom_join,
         # --- green in r2, re-checked every round ---
         "s3_projection": q_s3_projection,
         "s4_sort_limit": q_s4_sort_limit,
-        "s5_count_rows": q_s5_count_rows,
-        "p4_count_nonempty": q_p4_count_nonempty,
+        "s5_p4_counts": q_s5_p4_counts,
         "tokens_topk": q_tokens_topk,
         "tokens_topk_by_lang": q_tokens_topk_by_lang,
-        "a2_distinct_tokens": q_a2_distinct_tokens,
-        "a3_distinct_users": q_a3_distinct_users,
+        "a2_a3_distinct": q_a2_a3_distinct,
         "p7_fpr_curve": q_p7_fpr_curve,
         "p8_sizing": q_p8_sizing,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1063,9 +1088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
         "prepare_corpus": q_prepare_corpus,
-        # --- entry 51: appended AFTER the 50-query window the driver
-        # records (extra green row if the window is wider) ---
-        "bloom_join": q_bloom_join,
     }
 
 
@@ -1082,11 +1104,10 @@ def oracle_sql() -> dict[str, str]:
         "s4_sort_limit":
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
-        "s5_count_rows":
-            "SELECT COUNT(*) AS n_rows FROM lineitem",
-        "p4_count_nonempty":
-            "SELECT COUNT(*) AS n_nonempty FROM documents "
-            "WHERE length(text) > 0",
+        "s5_p4_counts":
+            "SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows, "
+            "(SELECT COUNT(*) FROM documents WHERE length(text) > 0) "
+            "AS n_nonempty",
         "tokens_topk":
             f"SELECT token, COUNT(*) AS cnt FROM (SELECT unnest({toks}) "
             "AS token FROM documents) GROUP BY token "
@@ -1100,11 +1121,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY lang
                     ORDER BY cnt DESC, token) AS rnk FROM c)
             WHERE rnk <= 3""",
-        "a2_distinct_tokens":
-            f"SELECT COUNT(DISTINCT token) AS n_distinct FROM "
-            f"(SELECT unnest({toks}) AS token FROM documents)",
-        "a3_distinct_users":
-            "SELECT COUNT(DISTINCT user_id) AS n_distinct FROM events",
+        "a2_a3_distinct":
+            f"SELECT (SELECT COUNT(DISTINCT token) FROM "
+            f"(SELECT unnest({toks}) AS token FROM documents)) "
+            "AS n_distinct_tokens, "
+            "(SELECT COUNT(DISTINCT user_id) FROM events) "
+            "AS n_distinct_users",
+        "exact_membership":
+            "SELECT r.range AS o_orderkey, "
+            "(k.o_orderkey IS NOT NULL) AS present "
+            "FROM range(7400, 7600) r "
+            "LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k "
+            "ON r.range = k.o_orderkey",
         "o1_o2_neighbors":
             "SELECT (SELECT MIN(o_orderkey) FROM orders "
             "WHERE o_orderkey >= 7500) AS successor, "
@@ -1275,7 +1303,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS false_negatives, TRUE AS fpr_ok",
         "sharded_delete":
             "SELECT CAST(0 AS BIGINT) AS false_negatives, "
-            "TRUE AS removed_mostly_absent",
+            "TRUE AS removed_mostly_absent, "
+            "CAST(0 AS BIGINT) AS cuckoo_false_negatives, "
+            "TRUE AS cuckoo_removed_mostly_absent, "
+            "TRUE AS cuckoo_smaller",
         "ibf_recover":
             "SELECT COUNT(DISTINCT c_name) AS n_recovered, "
             "TRUE AS getvalue_ok FROM customer WHERE c_custkey <= 200",
