@@ -489,8 +489,12 @@ def q_sharded_delete(spark, sf_dir):
             .where(~F.col("seen")).count()
         still = probe_sharded(gone, "o_orderkey", shards2) \
             .where("seen").count()
-        size = sum(r["n"] for r in shards.select(
-            F.length("payload").alias("n")).collect())
+        # resident state, not wire bytes (sparse serde shrinks lightly
+        # filled counting shards on the wire; the size claim is about
+        # executor memory)
+        from bloom_filters_spark.kernels import sketch_from_bytes
+        size = sum(sketch_from_bytes(bytes(r["payload"])).size_bytes
+                   for r in shards.select("payload").collect())
         shards.unpersist()
         shards2.unpersist()
         return int(fn), bool(still / max(n_gone, 1) <= 0.05), size

@@ -380,6 +380,14 @@ def main() -> None:
         out["scaling_cores_levels"] = sc.get("cores_levels")
         out["scaling_docs_per_sec"] = {
             str(r["cores"]): r["docs_per_sec"] for r in sc.get("runs", [])}
+        # raw efficiency divides by the sandbox's one-socket memory
+        # wall; the busy-loop hw ceiling measured in the same run
+        # normalizes it to what per-node memory channels would allow
+        # (full methodology: BENCH/BASELINE.md)
+        out["scaling_efficiency_vs_hw_ceiling"] = sc.get(
+            "scaling_efficiency_vs_hw_ceiling")
+        out["scaling_meets_north_rule_0p8"] = sc.get(
+            "meets_north_rule_0p8")
     print(json.dumps(out))
 
 

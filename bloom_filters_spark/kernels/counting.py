@@ -66,9 +66,24 @@ class CountingBloomSketch:
         return int(self.counters.nbytes)
 
     def to_bytes(self) -> bytes:
+        """Content-adaptive: a lightly-filled partial (nonzero counters
+        ≈ k·n/P « m) ships as (index, count) pairs; a design-fill final
+        filter stays dense — whichever is fewer bytes. Pure function of
+        content, so merge-order/resume byte-identity hold."""
+        idx_dtype = np.uint32 if self.m <= 0xFFFFFFFF else np.int64
+        nz = np.flatnonzero(self.counters)
+        pair = np.dtype(idx_dtype).itemsize + 8
+        if nz.size * pair < self.counters.nbytes:
+            return pack("cbf", {"m": self.m, "k": self.k,
+                                "n": self.n_inserted, "sparse": 1},
+                        nz.astype(idx_dtype), self.counters[nz])
         return pack("cbf", {"m": self.m, "k": self.k, "n": self.n_inserted},
                     self.counters)
 
     @classmethod
     def _from_state(cls, params, bufs):
+        if params.get("sparse"):
+            counters = np.zeros(params["m"], dtype=np.int64)
+            counters[bufs[0].astype(np.int64)] = bufs[1]
+            return cls(params["m"], params["k"], counters, params["n"])
         return cls(params["m"], params["k"], bufs[0], params["n"])

@@ -84,8 +84,23 @@ class HLLSketch:
         return int(self.registers.nbytes)
 
     def to_bytes(self) -> bytes:
+        """Content-adaptive (HLL++-style sparse mode for the wire): a
+        partial whose nonzero registers number < m/5 ships as
+        (index:uint32, rho:uint8) pairs — the common case for grouped
+        per-host partials where a group saw a handful of rows in a
+        partition but the bank is 2^p bytes. Dense otherwise. Encoding
+        is a pure function of content → merge-order/resume byte-identity
+        hold; in-memory representation stays dense (merge = np.maximum)."""
+        nz = np.flatnonzero(self.registers)
+        if nz.size * 5 < self.m:
+            return pack("hll", {"p": self.p, "sparse": 1},
+                        nz.astype(np.uint32), self.registers[nz])
         return pack("hll", {"p": self.p}, self.registers)
 
     @classmethod
     def _from_state(cls, params, bufs):
+        if params.get("sparse"):
+            regs = np.zeros(1 << params["p"], dtype=np.uint8)
+            regs[bufs[0].astype(np.int64)] = bufs[1]
+            return cls(params["p"], regs)
         return cls(params["p"], bufs[0])

@@ -353,8 +353,13 @@ def test_sharded_cuckoo_delete(spark, events):
 
     counting = build_sharded(keys, "user_id", n_shards=8,
                              factory=counting_shard_factory(0.01))
-    size = lambda t: sum(r["n"] for r in t.select(
-        F.length("payload").alias("n")).collect())
+    # compare RESIDENT state (size_bytes), not wire bytes: lightly
+    # filled counting shards serialize sparse, but the executor-memory
+    # cost the 2-4 bytes/key claim is about is the inflated state
+    from bloom_filters_spark.kernels import sketch_from_bytes
+    size = lambda t: sum(
+        sketch_from_bytes(bytes(r["payload"])).size_bytes
+        for r in t.select("payload").collect())
     assert size(shards) * 2 < size(counting)
     shards.unpersist()
     shards2.unpersist()

@@ -450,3 +450,56 @@ def test_theta_set_operations_vs_exact():
     exact_diff = exact_a - exact_inter
     tol_d = 4 * math.sqrt(exact_union / exact_diff) / math.sqrt(a.k)
     assert abs(a.difference_estimate(b) - exact_diff) / exact_diff <= tol_d
+
+
+# ------------------------------------------------- sparse wire format
+def test_sparse_payloads_roundtrip_and_shrink():
+    """Content-adaptive serde: lightly-filled partials ship sparse and
+    MUCH smaller; near-design-fill sketches stay dense; both round-trip
+    to identical state and identical re-serialized bytes (encoding is a
+    pure function of content — merge-order byte-identity depends on it).
+    """
+    # Bloom: 1M-bit filter, 200 keys -> sparse wins ~m/(64*k*n)
+    b = BloomSketch(1_000_000, 7)
+    b.update_hashes(rand_hashes(200, seed=11))
+    blob = b.to_bytes()
+    assert len(blob) < b.bits.nbytes // 8
+    b2 = sketch_from_bytes(blob)
+    assert (b2.bits == b.bits).all() and b2.n_inserted == b.n_inserted
+    assert b2.to_bytes() == blob
+    # fill it to design load -> dense chosen, still round-trips
+    b.update_hashes(rand_hashes(100_000, seed=12))
+    blob_d = b.to_bytes()
+    assert len(blob_d) >= b.bits.nbytes
+    assert (sketch_from_bytes(blob_d).bits == b.bits).all()
+
+    # CBF: sparse (idx, count) pairs preserve exact counters
+    c = CountingBloomSketch(1 << 20, 5)
+    c.update_hashes(rand_hashes(300, seed=13))
+    blob = c.to_bytes()
+    assert len(blob) < c.counters.nbytes // 8
+    c2 = sketch_from_bytes(blob)
+    assert (c2.counters == c.counters).all() and c2.to_bytes() == blob
+
+    # HLL: per-group partial with a handful of rows
+    h = HLLSketch(14)
+    h.update_hashes(rand_hashes(50, seed=14))
+    blob = h.to_bytes()
+    assert len(blob) < h.m // 4
+    h2 = sketch_from_bytes(blob)
+    assert (h2.registers == h.registers).all() and h2.to_bytes() == blob
+    assert h2.estimate() == h.estimate()
+
+
+def test_sparse_dense_merge_mix():
+    """A sketch revived from a SPARSE blob merges with one revived from
+    a DENSE blob into exactly the one-pass result."""
+    a, b = BloomSketch(1 << 18, 5), BloomSketch(1 << 18, 5)
+    ha, hb = rand_hashes(100, seed=21), rand_hashes(30_000, seed=22)
+    a.update_hashes(ha)           # sparse-range fill
+    b.update_hashes(hb)           # dense-range fill
+    ra, rb = sketch_from_bytes(a.to_bytes()), sketch_from_bytes(b.to_bytes())
+    merged = ra.merge(rb)
+    one = BloomSketch(1 << 18, 5)
+    one.update_hashes(np.concatenate([ha, hb]))
+    assert (merged.bits == one.bits).all()
