@@ -877,12 +877,24 @@ def q_prepare_corpus(spark, sf_dir):
 
 
 def q_bloom_join(spark, sf_dir):
-    """Bloom-accelerated EXACT joins (operators/joins.py): semi and
+    """Bloom filters at the two places they pay at 100 TB: inside a
+    join and in front of the scan.
+
+    (a) Bloom-accelerated EXACT joins (operators/joins.py): semi and
     anti join of lineitem against high-value orders, where a broadcast
     Bloom over the small side's keys pre-filters the big side before
     the shuffle (semi) / bypasses the join for certain non-members
     (anti). Exactness checked by count + value checksum on both
-    streams; n_semi + n_anti must partition the table."""
+    streams; n_semi + n_anti must partition the table.
+
+    (b) Sketch-indexed scan pruning (operators/skipping.py): stage
+    orders range-clustered by o_orderkey, build the per-file
+    Bloom+zone-map index in one pass, then point-look-up a probe set
+    reading ONLY admitted files. The pruned result must equal the
+    full-scan lookup (n_pruned/pruned_sum vs the SQL oracle) and must
+    actually skip files (files_skipped: scanned < total)."""
+    import tempfile
+    from bloom_filters_spark.operators import skipping as skp
     li = _t(spark, sf_dir, "lineitem")
     hot = _t(spark, sf_dir, "orders").where("o_totalprice > 400000")
     semi = jn.bloom_semijoin(li, hot, "l_orderkey", "o_orderkey")
@@ -893,7 +905,28 @@ def q_bloom_join(spark, sf_dir):
     a = anti.agg(
         F.count("*").alias("n_anti"),
         F.sum(F.col("l_quantity").cast("long")).alias("anti_qty"))
-    return s.crossJoin(a)
+
+    orders = _t(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/orders_by_key"
+        skp.stage_clustered(orders, path, "o_orderkey", 8)
+        idx = skp.build_scan_index(spark, path, "o_orderkey").persist()
+        idx.count()
+        probes = (orders.where("o_orderkey % 19 = 0 AND o_orderkey < 1500")
+                  .select("o_orderkey")
+                  .unionByName(spark.createDataFrame(
+                      [(-7,), (9_999_999_998,)], "o_orderkey long")))
+        res, stats = skp.pruned_lookup(spark, path, idx, probes,
+                                       "o_orderkey")
+        row = res.agg(
+            F.count("*").alias("n_pruned"),
+            F.sum("o_orderkey").alias("pruned_sum")).collect()[0]
+        idx.unpersist()
+        p = spark.createDataFrame(
+            [(int(row["n_pruned"]), int(row["pruned_sum"]),
+              bool(stats["files_scanned"] < stats["files_total"]))],
+            "n_pruned long, pruned_sum long, files_skipped boolean")
+    return s.crossJoin(a).crossJoin(p)
 
 
 def q_streaming_dedup(spark, sf_dir):
@@ -1406,7 +1439,15 @@ def oracle_sql() -> dict[str, str]:
                            AS BIGINT)
                FROM lineitem
                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM hot))
-                  AS anti_qty""",
+                  AS anti_qty,
+              (SELECT COUNT(*) FROM orders
+               WHERE o_orderkey % 19 = 0 AND o_orderkey < 1500)
+                  AS n_pruned,
+              (SELECT CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT)
+               FROM orders
+               WHERE o_orderkey % 19 = 0 AND o_orderkey < 1500)
+                  AS pruned_sum,
+              TRUE AS files_skipped""",
         "sampling_splits":
             "SELECT (SELECT COUNT(*) FROM events) AS n_total, "
             "TRUE AS partitions_data, TRUE AS fractions_ok, "

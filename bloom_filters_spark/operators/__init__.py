@@ -5,6 +5,8 @@ from .collisions import (absolute_collisions, collision_sweep_k,
                          collision_sweep_m, probe_indices,
                          relative_collisions)
 from .joins import bloom_antijoin, bloom_semijoin
+from .skipping import (build_scan_index, prune_files, pruned_lookup,
+                       stage_clustered)
 from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     lsh_candidate_pairs, minhash_signatures, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
@@ -32,4 +34,5 @@ __all__ = [
     "probe_indices", "relative_collisions", "absolute_collisions",
     "collision_sweep_k", "collision_sweep_m",
     "bloom_semijoin", "bloom_antijoin",
+    "stage_clustered", "build_scan_index", "prune_files", "pruned_lookup",
 ]

@@ -1,0 +1,180 @@
+"""Sketch-indexed scan pruning: the file you never read is the fastest.
+
+The reference exposes Bloom membership as an interactive probe
+(Bloom_project/src/core/BloomFilter.cpp:31-39 ``exists``); at lake
+scale the same probe's highest-leverage placement is one level UP from
+the row — per *file*. A tiny index table (one row per data file:
+row count, key zone map, Bloom filter over the file's keys) lets a
+point-lookup / small-IN-list query prove "none of my keys can be in
+this file" for almost every file and skip its I/O entirely. On a
+100 TB table clustered by the lookup key, a 20-key probe touches a
+handful of files instead of all of them — the scan cost becomes
+O(selectivity), not O(table).
+
+This is the same idea as Parquet column bloom filters / Iceberg
+file-level metrics, materialized as an explicit, engine-agnostic index
+DataFrame the library builds and consults itself:
+
+- ``stage_clustered``   — write a table range-clustered by the key so
+  the zone maps and Blooms are selective (the layout half of skipping).
+- ``build_scan_index``  — one pass over the table → one index row per
+  file. The Bloom is EXACTLY sized per file (capacity = the file's own
+  row count, so every file filter meets the configured fpp).
+- ``prune_files``       — zone-map check (JVM range semi join) then
+  Bloom any-hit check (vectorized pandas UDF over broadcast probe
+  hashes) → the candidate file list.
+- ``pruned_lookup``     — scan ONLY the candidate files and finish with
+  an exact broadcast semi join (removes the fpp false positives).
+  Bit-identical to the full-scan lookup: Blooms have no false
+  negatives, so no qualifying file is ever skipped.
+
+Scale notes (100 TB design point):
+- the index is one row per file (a 100 TB table at 256 MB/file is
+  ~400k rows × ~a-few-KB payloads) — it lives comfortably in one
+  executor and is itself a normal DataFrame: persist it, checkpoint it,
+  or append it file-by-file as data lands;
+- index build shuffles only ``(file, key, hash)`` — the 16-byte
+  skeleton of each row, never the payload columns;
+- probe evaluation broadcasts the probe hashes once (point lookups are
+  small by definition; ``max_probes`` guards the contract) and runs
+  distributed over the index, so no per-file work ever lands on the
+  driver except the final candidate file list.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..kernels.bloom import BloomSketch
+from .agg import _cached_sketch, hash_col
+
+INDEX_SCHEMA = ("file string, n_rows long, min_key string, "
+                "max_key string, payload binary")
+
+_DEFAULT_MAX_PROBES = 100_000
+
+
+def stage_clustered(df: DataFrame, path: str, key_col: str,
+                    n_files: int) -> None:
+    """Write ``df`` as parquet range-clustered on ``key_col``.
+
+    Clustering is what makes file skipping selective: after
+    ``repartitionByRange`` each file owns a contiguous key range, so a
+    probe key's zone-map check eliminates every file but one, and the
+    Bloom check handles keys inside a range that were never written.
+    (An unclustered layout still skips via Blooms, just less sharply —
+    every filter must be consulted.)
+    """
+    (df.repartitionByRange(n_files, F.col(key_col))
+       .write.mode("overwrite").parquet(path))
+
+
+def build_scan_index(spark: SparkSession, path: str, key_col: str, *,
+                     fpp: float = 0.01, seed: int = 0) -> DataFrame:
+    """One scan → one index row per data file.
+
+    Columns: ``file`` (fully-qualified URI), ``n_rows``, ``min_key`` /
+    ``max_key`` (zone map, carried as strings for a type-stable index
+    schema; pruning compares in the key's native type), ``payload``
+    (Bloom over xxhash64(key, seed), capacity = the file's exact row
+    count so the per-file fpp is honoured regardless of file sizes).
+
+    ``applyInPandas`` sees each file's full (key, hash) columns at
+    once — that is what lets the filter be exactly sized with no
+    second pass. Only (file, key, hash) rows cross the shuffle.
+    """
+
+    def build_row(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = BloomSketch.from_capacity(max(len(pdf), 1), fpp)
+        sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64, na_value=0))
+        return pd.DataFrame({
+            "file": [pdf["file"].iloc[0]],
+            "n_rows": [len(pdf)],
+            "min_key": [str(pdf["__k"].min())],
+            "max_key": [str(pdf["__k"].max())],
+            "payload": [sk.to_bytes()],
+        })
+
+    src = (spark.read.parquet(path)
+           .select(F.input_file_name().alias("file"),
+                   F.col(key_col).alias("__k"),
+                   hash_col(F.col(key_col), seed).alias("__h")))
+    return src.groupBy("file").applyInPandas(build_row, schema=INDEX_SCHEMA)
+
+
+def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
+                seed: int = 0,
+                max_probes: int = _DEFAULT_MAX_PROBES) -> list[str]:
+    """Candidate files for a lookup of ``probe_df[key_col]``.
+
+    Two sieves, cheapest first:
+    1. zone map — a range semi join keeps only files whose
+       [min_key, max_key] contains at least one probe key (native-type
+       comparison via a cast of the stored string bounds);
+    2. Bloom — probe hashes are broadcast once; a vectorized pandas UDF
+       asks each surviving file's filter for ANY hit.
+
+    No false negatives at either sieve, so the returned list is a
+    superset of the files that actually contain matches.
+    """
+    spark = index_df.sparkSession
+    probes = probe_df.select(F.col(key_col).alias("__k")).distinct()
+    rows = probes.limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
+        raise ValueError(
+            f"prune_files is the point-lookup path (<= {max_probes} "
+            "probe keys); for large probe sets use bloom_semijoin")
+    if not rows:
+        return []
+    key_type = probes.schema["__k"].dataType.simpleString()
+    hashes = np.array(
+        [r["__h"] for r in
+         probes.select(hash_col(F.col("__k"), seed).alias("__h")).collect()],
+        dtype=np.int64)
+
+    zoned = index_df.join(
+        probes,
+        (probes["__k"] >= index_df["min_key"].cast(key_type))
+        & (probes["__k"] <= index_df["max_key"].cast(key_type)),
+        "left_semi")
+
+    bc = spark.sparkContext.broadcast(hashes)
+
+    @F.pandas_udf("boolean")
+    def any_hit(payload: pd.Series) -> pd.Series:
+        probe_h = bc.value
+        return pd.Series(
+            [bool(_cached_sketch(bytes(p)).contains_hashes(probe_h).any())
+             for p in payload])
+
+    hit = zoned.where(any_hit(F.col("payload"))).select("file")
+    return [r["file"] for r in hit.collect()]
+
+
+def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
+                  probe_df: DataFrame, key_col: str, *, seed: int = 0,
+                  max_probes: int = _DEFAULT_MAX_PROBES,
+                  ) -> tuple[DataFrame, dict]:
+    """Exact lookup of ``probe_df[key_col]`` scanning only candidate files.
+
+    Returns ``(result, stats)`` where ``result`` is bit-identical to
+    ``full_scan.join(probes, key, 'left_semi')`` (the final broadcast
+    semi join removes Bloom false positives) and ``stats`` records
+    ``files_total`` / ``files_scanned`` — the skipping win itself.
+    """
+    files = prune_files(index_df, probe_df, key_col,
+                        seed=seed, max_probes=max_probes)
+    files_total = index_df.select("file").distinct().count()
+    full = spark.read.parquet(path)
+    if not files:
+        return full.where(F.lit(False)), {
+            "files_total": files_total, "files_scanned": 0}
+    scanned = spark.read.schema(full.schema).parquet(*files)
+    probes = probe_df.select(F.col(key_col).alias(key_col)).distinct()
+    result = scanned.join(F.broadcast(probes), on=key_col, how="left_semi")
+    return result, {"files_total": files_total,
+                    "files_scanned": len(files)}

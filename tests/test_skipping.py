@@ -1,0 +1,112 @@
+"""Sketch-indexed scan pruning (operators/skipping.py).
+
+Contract: pruned_lookup is bit-identical to the full-scan semi join
+(no false negatives at file level), while actually skipping files —
+the zone map kills out-of-range probes, the per-file Bloom kills
+in-range-but-absent probes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.operators import skipping as sk
+
+N_FILES = 8
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("skip") / "tbl")
+    df = spark.range(0, N_ROWS).select(
+        (F.col("id") * 7).alias("k"),           # sparse keys: gaps exist
+        F.concat(F.lit("v"), F.col("id")).alias("payload"))
+    sk.stage_clustered(df, path, "k", N_FILES)
+    idx = sk.build_scan_index(spark, path, "k", fpp=0.01).persist()
+    idx.count()
+    return path, idx
+
+
+def _probe_df(spark, keys):
+    return spark.createDataFrame([(int(x),) for x in keys], "k long")
+
+
+def test_index_shape(spark, staged):
+    _, idx = staged
+    rows = idx.collect()
+    assert len(rows) == N_FILES
+    assert sum(r["n_rows"] for r in rows) == N_ROWS
+    # clustered layout → per-file key ranges are disjoint
+    spans = sorted((int(r["min_key"]), int(r["max_key"])) for r in rows)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+
+
+def test_pruned_lookup_matches_full_scan(spark, staged):
+    path, idx = staged
+    # mix of present keys (multiples of 7) and absent ones
+    probes = _probe_df(spark, [0, 7, 14, 3500, 27993, 5, 6, 9999999])
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    full = (spark.read.parquet(path)
+            .join(probes, on="k", how="left_semi"))
+    assert sorted(r["k"] for r in got.collect()) == \
+        sorted(r["k"] for r in full.collect())
+    assert stats["files_total"] == N_FILES
+    # 4 present keys live in at most 3 distinct files; Blooms at
+    # p=0.01 admit at most a file or two extra
+    assert 1 <= stats["files_scanned"] < N_FILES
+
+
+def test_clustered_probe_touches_one_file(spark, staged):
+    path, idx = staged
+    probes = _probe_df(spark, [7, 14, 21, 28])      # adjacent keys
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    assert stats["files_scanned"] == 1
+    assert got.count() == 4
+
+
+def test_absent_in_range_keys_bloom_pruned(spark, staged):
+    path, idx = staged
+    # in the global key range but never written (not multiples of 7)
+    probes = _probe_df(spark, [1, 2, 3, 4, 5])
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    assert got.count() == 0
+    # zone map alone can't reject these; the Bloom should (p=0.01)
+    assert stats["files_scanned"] <= 1
+
+
+def test_out_of_range_keys_zone_pruned(spark, staged):
+    path, idx = staged
+    probes = _probe_df(spark, [-5, 10**12])
+    files = sk.prune_files(idx, probes, "k")
+    assert files == []
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    assert got.count() == 0 and stats["files_scanned"] == 0
+
+
+def test_empty_probe_set(spark, staged):
+    path, idx = staged
+    got, stats = sk.pruned_lookup(
+        spark, path, idx, _probe_df(spark, []), "k")
+    assert got.count() == 0 and stats["files_scanned"] == 0
+
+
+def test_string_keys(spark, tmp_path):
+    path = str(tmp_path / "stbl")
+    df = spark.range(0, 500).select(
+        F.format_string("doc-%04d", F.col("id")).alias("k"))
+    sk.stage_clustered(df, path, "k", 4)
+    idx = sk.build_scan_index(spark, path, "k")
+    probes = spark.createDataFrame(
+        [("doc-0001",), ("doc-0499",), ("doc-9999",)], "k string")
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    assert sorted(r["k"] for r in got.collect()) == \
+        ["doc-0001", "doc-0499"]
+    assert stats["files_scanned"] == 2
+
+
+def test_max_probes_guard(spark, staged):
+    _, idx = staged
+    probes = _probe_df(spark, range(20))
+    with pytest.raises(ValueError, match="point-lookup"):
+        sk.prune_files(idx, probes, "k", max_probes=10)
