@@ -269,6 +269,44 @@ def q_sharded_probe_16mb(spark, sf_dir):
     return _sharded_probe_timed(spark, sf_dir, 14_000_000)
 
 
+_PRUNE_CACHE: dict = {}
+
+
+def q_scan_prune(spark, sf_dir):
+    """File-skipping win: point-lookup 24 orderkeys via the per-file
+    Bloom+zone-map index (operators/skipping.py) vs the full scan.
+    Staging + index build are cached across passes, so min-of-passes
+    times the LOOKUPS. Result = full/pruned speedup; at 100 TB this
+    ratio is the fraction of files the index admits (here the probes
+    live in a handful of the 64 clustered files)."""
+    from bloom_filters_spark.operators import skipping as skp
+    if "staged" not in _PRUNE_CACHE:
+        import tempfile
+        path = os.path.join(tempfile.mkdtemp(prefix="bench_prune"), "li")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        skp.stage_clustered(li, path, "l_orderkey", 64)
+        idx = skp.build_scan_index(spark, path, "l_orderkey").persist()
+        idx.count()
+        _PRUNE_CACHE["staged"] = (path, idx)
+    path, idx = _PRUNE_CACHE["staged"]
+    probes = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where("o_orderkey % 25037 = 1").select("o_orderkey")
+              .withColumnRenamed("o_orderkey", "l_orderkey").limit(24))
+    t0 = time.time()
+    pruned, stats = skp.pruned_lookup(spark, path, idx, probes,
+                                      "l_orderkey")
+    n_pruned = pruned.count()
+    t_pruned = time.time() - t0
+    t0 = time.time()
+    n_full = (spark.read.parquet(path)
+              .join(F.broadcast(probes), on="l_orderkey", how="left_semi")
+              .count())
+    t_full = time.time() - t0
+    assert n_pruned == n_full, (n_pruned, n_full)
+    assert stats["files_scanned"] < stats["files_total"]
+    return round(t_full / max(t_pruned, 1e-9), 2)
+
+
 def q_tokens_topk(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
@@ -311,6 +349,7 @@ QUERIES = {
     "prepare_corpus": q_prepare_corpus,
     "sharded_probe_small": q_sharded_probe_small,
     "sharded_probe_16mb": q_sharded_probe_16mb,
+    "scan_prune": q_scan_prune,
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

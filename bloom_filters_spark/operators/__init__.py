@@ -5,8 +5,9 @@ from .collisions import (absolute_collisions, collision_sweep_k,
                          collision_sweep_m, probe_indices,
                          relative_collisions)
 from .joins import bloom_antijoin, bloom_semijoin
-from .skipping import (build_scan_index, prune_files, pruned_lookup,
-                       stage_clustered)
+from .skipping import (build_scan_index, build_scan_index_for_files,
+                       extend_scan_index, prune_files, pruned_lookup,
+                       pruned_range_scan, stage_clustered)
 from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     lsh_candidate_pairs, minhash_signatures, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
@@ -34,5 +35,7 @@ __all__ = [
     "probe_indices", "relative_collisions", "absolute_collisions",
     "collision_sweep_k", "collision_sweep_m",
     "bloom_semijoin", "bloom_antijoin",
-    "stage_clustered", "build_scan_index", "prune_files", "pruned_lookup",
+    "stage_clustered", "build_scan_index", "build_scan_index_for_files",
+    "extend_scan_index", "prune_files", "pruned_lookup",
+    "pruned_range_scan",
 ]

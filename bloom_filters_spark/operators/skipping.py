@@ -27,6 +27,15 @@ DataFrame the library builds and consults itself:
   an exact broadcast semi join (removes the fpp false positives).
   Bit-identical to the full-scan lookup: Blooms have no false
   negatives, so no qualifying file is ever skipped.
+- ``pruned_range_scan`` — the same skipping for RANGE predicates:
+  Blooms cannot answer "any key in [lo, hi]?", but the zone map can
+  (interval overlap), and on a range-clustered layout that alone
+  eliminates every file outside the predicate's key span.
+- ``extend_scan_index`` — incremental maintenance: index only files
+  not yet covered and union them in. Data that lands file-by-file
+  (streaming sinks, compaction output) never triggers a rebuild —
+  the index grows O(new files), the invariants are per-file so
+  nothing existing is touched.
 
 Scale notes (100 TB design point):
 - the index is one row per file (a 100 TB table at 256 MB/file is
@@ -87,7 +96,11 @@ def build_scan_index(spark: SparkSession, path: str, key_col: str, *,
     once — that is what lets the filter be exactly sized with no
     second pass. Only (file, key, hash) rows cross the shuffle.
     """
+    return _index_over(spark.read.parquet(path), key_col, fpp, seed)
 
+
+def _index_over(df: DataFrame, key_col: str, fpp: float,
+                seed: int) -> DataFrame:
     def build_row(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = BloomSketch.from_capacity(max(len(pdf), 1), fpp)
         sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64, na_value=0))
@@ -99,10 +112,9 @@ def build_scan_index(spark: SparkSession, path: str, key_col: str, *,
             "payload": [sk.to_bytes()],
         })
 
-    src = (spark.read.parquet(path)
-           .select(F.input_file_name().alias("file"),
-                   F.col(key_col).alias("__k"),
-                   hash_col(F.col(key_col), seed).alias("__h")))
+    src = df.select(F.input_file_name().alias("file"),
+                    F.col(key_col).alias("__k"),
+                    hash_col(F.col(key_col), seed).alias("__h"))
     return src.groupBy("file").applyInPandas(build_row, schema=INDEX_SCHEMA)
 
 
@@ -123,7 +135,9 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
     """
     spark = index_df.sparkSession
     probes = probe_df.select(F.col(key_col).alias("__k")).distinct()
-    rows = probes.limit(max_probes + 1).collect()
+    # one collect serves both the size guard and the probe hashes
+    rows = (probes.select("__k", hash_col(F.col("__k"), seed).alias("__h"))
+            .limit(max_probes + 1).collect())
     if len(rows) > max_probes:
         raise ValueError(
             f"prune_files is the point-lookup path (<= {max_probes} "
@@ -131,10 +145,7 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
     if not rows:
         return []
     key_type = probes.schema["__k"].dataType.simpleString()
-    hashes = np.array(
-        [r["__h"] for r in
-         probes.select(hash_col(F.col("__k"), seed).alias("__h")).collect()],
-        dtype=np.int64)
+    hashes = np.array([r["__h"] for r in rows], dtype=np.int64)
 
     zoned = index_df.join(
         probes,
@@ -178,3 +189,62 @@ def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
     result = scanned.join(F.broadcast(probes), on=key_col, how="left_semi")
     return result, {"files_total": files_total,
                     "files_scanned": len(files)}
+
+
+def pruned_range_scan(spark: SparkSession, path: str, index_df: DataFrame,
+                      key_col: str, lo, hi) -> tuple[DataFrame, dict]:
+    """Exact ``lo <= key_col <= hi`` scan reading only overlapping files.
+
+    Range predicates are the zone map's home turf (a Bloom cannot
+    answer "any member in [lo, hi]?"): a file qualifies iff its
+    [min_key, max_key] interval overlaps [lo, hi]. On a
+    range-clustered layout the candidates are exactly the files whose
+    span the predicate crosses — O(predicate width / file span)
+    instead of O(files). The residual per-row filter on the scanned
+    files makes the result bit-identical to the full scan.
+    """
+    full = spark.read.parquet(path)
+    key_type = full.schema[key_col].dataType.simpleString()
+    pred = (F.col("max_key").cast(key_type) >= F.lit(lo)) \
+        & (F.col("min_key").cast(key_type) <= F.lit(hi))
+    files = [r["file"] for r in
+             index_df.where(pred).select("file").collect()]
+    files_total = index_df.select("file").distinct().count()
+    if not files:
+        return full.where(F.lit(False)), {
+            "files_total": files_total, "files_scanned": 0}
+    scanned = spark.read.schema(full.schema).parquet(*files)
+    result = scanned.where(F.col(key_col).between(F.lit(lo), F.lit(hi)))
+    return result, {"files_total": files_total,
+                    "files_scanned": len(files)}
+
+
+def extend_scan_index(spark: SparkSession, index_df: DataFrame, path: str,
+                      key_col: str, *, fpp: float = 0.01,
+                      seed: int = 0) -> DataFrame:
+    """Union ``index_df`` with index rows for files it does not cover yet.
+
+    The per-file rows are independent (each Bloom is sized from its
+    own file's row count), so appended data needs no rebuild: list the
+    table's files, anti-join against the already-indexed names, and
+    run ``build_scan_index``'s one-pass build over only the delta.
+    The file listing itself is a metadata operation — no data files
+    are opened for already-indexed files.
+    """
+    listed = (spark.read.parquet(path)
+              .select(F.input_file_name().alias("file")).distinct())
+    new_files = [r["file"] for r in
+                 listed.join(index_df.select("file"), on="file",
+                             how="left_anti").collect()]
+    if not new_files:
+        return index_df
+    delta = build_scan_index_for_files(spark, new_files, key_col,
+                                       fpp=fpp, seed=seed)
+    return index_df.unionByName(delta)
+
+
+def build_scan_index_for_files(spark: SparkSession, files: Sequence[str],
+                               key_col: str, *, fpp: float = 0.01,
+                               seed: int = 0) -> DataFrame:
+    """``build_scan_index`` over an explicit file list (the delta path)."""
+    return _index_over(spark.read.parquet(*files), key_col, fpp, seed)

@@ -110,3 +110,49 @@ def test_max_probes_guard(spark, staged):
     probes = _probe_df(spark, range(20))
     with pytest.raises(ValueError, match="point-lookup"):
         sk.prune_files(idx, probes, "k", max_probes=10)
+
+
+def test_range_scan_matches_full_and_skips(spark, staged):
+    path, idx = staged
+    # keys are 0,7,...,27993 over 8 files of 500 keys each; a span of
+    # ~700 keys crosses at most 2 file boundaries
+    lo, hi = 7000, 11900
+    got, stats = sk.pruned_range_scan(spark, path, idx, "k", lo, hi)
+    full = (spark.read.parquet(path)
+            .where(F.col("k").between(lo, hi)))
+    assert sorted(r["k"] for r in got.collect()) == \
+        sorted(r["k"] for r in full.collect())
+    assert 1 <= stats["files_scanned"] <= 3 < stats["files_total"]
+
+
+def test_range_scan_empty_interval(spark, staged):
+    path, idx = staged
+    got, stats = sk.pruned_range_scan(spark, path, idx, "k",
+                                      10**9, 2 * 10**9)
+    assert got.count() == 0 and stats["files_scanned"] == 0
+
+
+def test_extend_scan_index_appends_only_delta(spark, tmp_path):
+    path = str(tmp_path / "grow")
+    first = spark.range(0, 1000).select(F.col("id").alias("k"))
+    sk.stage_clustered(first, path, "k", 4)
+    idx = sk.build_scan_index(spark, path, "k").persist()
+    assert idx.count() == 4
+
+    # data lands file-by-file: append a new key range as more files
+    (spark.range(1000, 1500).select(F.col("id").alias("k"))
+     .repartitionByRange(2, F.col("k"))
+     .write.mode("append").parquet(path))
+    grown = sk.extend_scan_index(spark, idx, path, "k").persist()
+    assert grown.count() == 6
+    # old rows are byte-identical (no rebuild), new keys are findable
+    old = {r["file"]: bytes(r["payload"]) for r in idx.collect()}
+    kept = {r["file"]: bytes(r["payload"]) for r in grown.collect()
+            if r["file"] in old}
+    assert kept == old
+    got, stats = sk.pruned_lookup(
+        spark, path, grown, _probe_df(spark, [1250, 42]), "k")
+    assert sorted(r["k"] for r in got.collect()) == [42, 1250]
+    assert stats["files_scanned"] == 2 and stats["files_total"] == 6
+    # no-op when nothing new landed: same object back
+    assert sk.extend_scan_index(spark, grown, path, "k") is grown
