@@ -36,7 +36,9 @@ from bloom_filters_spark.operators.agg import (
     hash_col, ibf_recover, probe_membership,
 )
 from bloom_filters_spark.operators import dedup as dd
+from bloom_filters_spark.operators import frequent as fq
 from bloom_filters_spark.operators import joins as jn
+from bloom_filters_spark.operators import reconcile as rc
 from bloom_filters_spark.operators import relational as rel
 from bloom_filters_spark.operators import similarity as sim
 from bloom_filters_spark.operators import textstats as ts
@@ -212,22 +214,20 @@ def q_dedup_exact_keep(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact token-set Jaccard ≥ 0.3 pairs via the LIBRARY inverted-
-    index operator (the entry query is the guarded code path users
-    call, not a re-implementation — VERDICT r1 item 6)."""
+    index operator, BOTH code paths in one result (r3 registry merge):
+    ``guarded=false`` rows are the plain exact baseline; ``guarded=
+    true`` rows apply the df_cut stopword guard (shingles appearing in
+    more than df_cut docs are dropped from the inverted index before
+    the self-join — bounds the join blowup at scale; set sizes stay
+    unguarded, so similarity can only DROP). The oracle reproduces
+    both semantics in SQL — exact value-hash check."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
-                                  threshold=0.3)
-
-
-def q_ngram_jaccard_guarded(spark, sf_dir):
-    """ngram jaccard with the df_cut stopword guard: shingles appearing
-    in more than df_cut docs are dropped from the inverted index before
-    the self-join (bounds the join blowup at scale; set sizes stay
-    unguarded, so similarity can only DROP). The oracle reproduces the
-    guard in SQL — exact value-hash check of the guarded semantics."""
-    docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
-                                  threshold=0.3, df_cut=400)
+    plain = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
+                                   threshold=0.3)
+    guarded = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
+                                     threshold=0.3, df_cut=400)
+    return (plain.withColumn("guarded", F.lit(False))
+            .unionByName(guarded.withColumn("guarded", F.lit(True))))
 
 
 def q_text_profile(spark, sf_dir):
@@ -360,6 +360,35 @@ def q_cms_no_underestimate(spark, sf_dir):
     return est.agg(
         F.sum(F.when(F.col("cms_estimate") < F.col("cnt"), 1).otherwise(0))
         .cast("long").alias("violations"))
+
+
+def q_heavy_hitters_mg(spark, sf_dir):
+    """EXACT heavy hitters via the two-pass Misra-Gries plan
+    (operators/frequent.py): pass 1 tree-merges capacity-256 MG
+    summaries (only counter rows shuffle — the token stream never
+    does); pass 2 recounts the ≤256 candidates exactly under a
+    broadcast semi filter. The MG retention guarantee (every token
+    with freq > n/257 survives the summary) makes the result EXACTLY
+    the tokens with count > n/257 — a full-strength SQL oracle, no
+    bound-style booleans needed."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = ts.tokenize(docs.select("text"), "text").select("token")
+    return fq.heavy_hitters(toks, "token", capacity=256)
+
+
+def q_ibf_reconcile(spark, sf_dir):
+    """IBF set reconciliation (operators/reconcile.py): two ~15k-row
+    'replicas' of orders differing in a few hundred keys; the diff is
+    recovered from per-shard invertible-Bloom subtraction — O(d)
+    sketch bytes cross the cluster, never the tables. The recovered
+    (key, side) rows are exactly the SQL symmetric difference."""
+    orders = _t(spark, sf_dir, "orders")
+    left = orders.where("o_orderkey % 97 != 0").select("o_orderkey")
+    right = orders.where("o_orderkey % 89 != 0").select("o_orderkey")
+    # capacity sized for sf0.1's ~3.2k-key diff too (sketch cost is
+    # O(capacity) — 16 shards × 24 KB — so headroom is nearly free)
+    return rc.reconcile_keys(left, right, "o_orderkey",
+                             diff_capacity=8192, n_shards=16)
 
 
 def q_quantile_bounds(spark, sf_dir):
@@ -718,23 +747,22 @@ def q_pages_invariant(spark, sf_dir):
         F.count("*").alias("n_rows"))
 
 
-def q_multimodal_frames(spark, sf_dir):
-    """Multimodal plumbing: binary payload → fixed-size frame sampling
-    (every 2nd 64-byte frame of a 256-byte payload)."""
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing, both stages in one result (r3 registry
+    merge): binary payload → fixed-size frame sampling (every 2nd
+    64-byte frame of a 256-byte payload) JOINED with the
+    decode→feature pipeline (deterministic fake codec; every row
+    decodes ok into a 16-dim feature) on media_id — 2 frame rows per
+    media, each carrying that media's decode columns."""
     media = mm.synthetic_media(spark, 100)
-    frames = mm.sample_frames(media, every_n=2, frame_bytes=64)
-    return frames.select("media_id", "frame_idx",
-                         F.octet_length("frame").cast("long")
-                         .alias("n_bytes"))
-
-
-def q_multimodal_features(spark, sf_dir):
-    """Multimodal decode→feature pipeline (deterministic fake codec):
-    every row decodes ok into a 16-dim feature."""
-    media = mm.synthetic_media(spark, 100)
-    feats = mm.extract_features(media)
-    return feats.select("media_id", "ok",
-                        F.size("feature").alias("n_features"))
+    frames = (mm.sample_frames(media, every_n=2, frame_bytes=64)
+              .select("media_id", "frame_idx",
+                      F.octet_length("frame").cast("long")
+                      .alias("n_bytes")))
+    feats = (mm.extract_features(media)
+             .select("media_id", "ok",
+                     F.size("feature").alias("n_features")))
+    return frames.join(feats, on="media_id")
 
 
 def q_streaming_accumulate(spark, sf_dir):
@@ -1091,6 +1119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibf_recover": q_ibf_recover,
         "exact_membership": q_exact_membership,
         "bloom_join": q_bloom_join,
+        "heavy_hitters_mg": q_heavy_hitters_mg,
+        "ibf_reconcile": q_ibf_reconcile,
         # --- green in r2, re-checked every round ---
         "s3_projection": q_s3_projection,
         "s4_sort_limit": q_s4_sort_limit,
@@ -1101,7 +1131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_fpr_curve": q_p7_fpr_curve,
         "p8_sizing": q_p8_sizing,
         "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_guarded": q_ngram_jaccard_guarded,
         "cosine_pairs": q_cosine_pairs,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1119,8 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_caps": q_lsh_bucket_caps,
         "checkpoint_resume": q_checkpoint_resume,
         "pages_invariant": q_pages_invariant,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
+        "multimodal": q_multimodal,
         "streaming_accumulate": q_streaming_accumulate,
         "streaming_windowed": q_streaming_windowed,
         "streaming_dedup": q_streaming_dedup,
@@ -1197,30 +1225,28 @@ def oracle_sql() -> dict[str, str]:
                                  COUNT(*) AS inter_c
                           FROM inv a JOIN inv b
                             ON a.s = b.s AND a.id < b.id
-                          GROUP BY a.id, b.id)
-            SELECT id1, id2,
-                   round(inter_c / (s1.sz + s2.sz - inter_c), 6) AS jaccard
-            FROM inter JOIN sizes s1 ON inter.id1 = s1.id
-                       JOIN sizes s2 ON inter.id2 = s2.id
-            WHERE round(inter_c / (s1.sz + s2.sz - inter_c), 6) >= 0.3""",
-        "ngram_jaccard_guarded":
-            f"""WITH t AS (SELECT doc_id AS id, list_distinct({toks}) AS sh
-                           FROM documents),
-                sizes AS (SELECT id, len(sh) AS sz FROM t),
-                inv0 AS (SELECT id, unnest(sh) AS s FROM t),
-                freq AS (SELECT s FROM inv0 GROUP BY s
+                          GROUP BY a.id, b.id),
+                freq AS (SELECT s FROM inv GROUP BY s
                          HAVING COUNT(*) <= 400),
-                inv AS (SELECT id, inv0.s FROM inv0 JOIN freq
-                        ON inv0.s = freq.s),
-                inter AS (SELECT a.id AS id1, b.id AS id2,
-                                 COUNT(*) AS inter_c
-                          FROM inv a JOIN inv b
-                            ON a.s = b.s AND a.id < b.id
-                          GROUP BY a.id, b.id)
+                ginv AS (SELECT id, inv.s FROM inv JOIN freq
+                         ON inv.s = freq.s),
+                ginter AS (SELECT a.id AS id1, b.id AS id2,
+                                  COUNT(*) AS inter_c
+                           FROM ginv a JOIN ginv b
+                             ON a.s = b.s AND a.id < b.id
+                           GROUP BY a.id, b.id)
             SELECT id1, id2,
-                   round(inter_c / (s1.sz + s2.sz - inter_c), 6) AS jaccard
+                   round(inter_c / (s1.sz + s2.sz - inter_c), 6) AS jaccard,
+                   FALSE AS guarded
             FROM inter JOIN sizes s1 ON inter.id1 = s1.id
                        JOIN sizes s2 ON inter.id2 = s2.id
+            WHERE round(inter_c / (s1.sz + s2.sz - inter_c), 6) >= 0.3
+            UNION ALL
+            SELECT id1, id2,
+                   round(inter_c / (s1.sz + s2.sz - inter_c), 6) AS jaccard,
+                   TRUE AS guarded
+            FROM ginter JOIN sizes s1 ON ginter.id1 = s1.id
+                        JOIN sizes s2 ON ginter.id2 = s2.id
             WHERE round(inter_c / (s1.sz + s2.sz - inter_c), 6) >= 0.3""",
         "text_profile":
             f"""WITH stats AS (SELECT doc_id,
@@ -1326,6 +1352,18 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS within_bound FROM documents GROUP BY lang",
         "cms_no_underestimate":
             "SELECT CAST(0 AS BIGINT) AS violations",
+        "heavy_hitters_mg":
+            f"""WITH tok AS (SELECT unnest({toks}) AS token
+                             FROM documents),
+                tot AS (SELECT COUNT(*) AS n FROM tok)
+            SELECT token, COUNT(*) AS cnt FROM tok, tot
+            GROUP BY token, tot.n HAVING COUNT(*) > tot.n / 257.0""",
+        "ibf_reconcile":
+            "SELECT o_orderkey, 'left_only' AS side FROM orders "
+            "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'right_only' AS side FROM orders "
+            "WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 = 0",
         "quantile_bounds":
             "SELECT CAST(6 AS BIGINT) AS kll_n_quantiles, TRUE AS kll_ok, "
             "CAST(5 AS BIGINT) AS td_n_quantiles, TRUE AS td_ok",
@@ -1383,13 +1421,11 @@ def oracle_sql() -> dict[str, str]:
         "pages_invariant":
             "SELECT CAST(0 AS BIGINT) AS mismatches, "
             "CAST(2000 AS BIGINT) AS n_rows",
-        "multimodal_frames":
+        "multimodal":
             "SELECT r.range AS media_id, f.frame_idx, "
-            "CAST(64 AS BIGINT) AS n_bytes FROM range(100) r, "
+            "CAST(64 AS BIGINT) AS n_bytes, TRUE AS ok, "
+            "CAST(16 AS INTEGER) AS n_features FROM range(100) r, "
             "(SELECT unnest([0, 2]) AS frame_idx) f",
-        "multimodal_features":
-            "SELECT range AS media_id, TRUE AS ok, "
-            "CAST(16 AS INTEGER) AS n_features FROM range(100)",
         "streaming_accumulate":
             "SELECT TRUE AS matches_batch, "
             "(SELECT COUNT(*) FROM documents) AS n_rows",

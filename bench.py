@@ -28,6 +28,8 @@ from bloom_filters_spark.operators.agg import (  # noqa: E402
     build_grouped_sketches, build_sketch, probe_membership,
     salted_repartition)
 from bloom_filters_spark.operators import dedup as dd  # noqa: E402
+from bloom_filters_spark.operators import frequent as fq  # noqa: E402
+from bloom_filters_spark.operators import reconcile as rc  # noqa: E402
 from bloom_filters_spark.operators import relational as rel  # noqa: E402
 from bloom_filters_spark.operators import similarity as sim  # noqa: E402
 from bloom_filters_spark.operators import textstats as ts  # noqa: E402
@@ -307,6 +309,24 @@ def q_scan_prune(spark, sf_dir):
     return round(t_full / max(t_pruned, 1e-9), 2)
 
 
+def q_heavy_hitters_mg(spark, sf_dir):
+    """Exact heavy hitters: MG candidate pass (counter rows shuffle,
+    tokens don't) + broadcast-filtered recount."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = ts.tokenize(docs.select("text"), "text").select("token")
+    return fq.heavy_hitters(toks, "token", capacity=256).count()
+
+
+def q_ibf_reconcile(spark, sf_dir):
+    """IBF table diff: two ~150k-row orders replicas differing in a
+    few thousand keys; only O(diff) sketch bytes cross the cluster."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    left = orders.where("o_orderkey % 97 != 0").select("o_orderkey")
+    right = orders.where("o_orderkey % 89 != 0").select("o_orderkey")
+    return rc.reconcile_keys(left, right, "o_orderkey",
+                             diff_capacity=8192, n_shards=16).count()
+
+
 def q_tokens_topk(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
@@ -350,6 +370,8 @@ QUERIES = {
     "sharded_probe_small": q_sharded_probe_small,
     "sharded_probe_16mb": q_sharded_probe_16mb,
     "scan_prune": q_scan_prune,
+    "heavy_hitters_mg": q_heavy_hitters_mg,
+    "ibf_reconcile": q_ibf_reconcile,
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

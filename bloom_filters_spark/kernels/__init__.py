@@ -15,13 +15,14 @@ from .hll import HLLSketch
 from .invertible import InvertibleBloomSketch
 from .kll import KLLSketch
 from .multi import MultiSketch
+from .spacesaving import MisraGriesSketch
 from .tdigest import TDigest
 from .theta import ThetaSketch
 
 __all__ = [
     "BloomSketch", "CountingBloomSketch", "CountMinSketch", "CuckooBank",
     "CuckooFilter", "HLLSketch", "InvertibleBloomSketch", "KLLSketch",
-    "MultiSketch", "TDigest", "ThetaSketch",
+    "MisraGriesSketch", "MultiSketch", "TDigest", "ThetaSketch",
     "bloom_fpr", "optimal_k", "optimal_m", "sketch_from_bytes",
     "hash64_bytes", "km_indices", "splitmix64", "derive_h2", "to_u64",
 ]

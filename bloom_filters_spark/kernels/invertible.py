@@ -107,30 +107,43 @@ class InvertibleBloomSketch:
 
     def peel(self, max_iters: int = 10_000):
         """Recover (key_hash, sign) pairs; the distributed getAllValues.
-        Returns (recovered_uint64s, signs, fully_decoded)."""
+        Returns (recovered_uint64s, signs, fully_decoded).
+
+        Wave-based: each iteration harvests EVERY currently-pure cell
+        (|count| == 1 and checksum match), dedupes the recovered keys (a
+        key with several pure cells must be removed once), and removes
+        the whole wave in vectorized numpy ops. Equivalent to the
+        textbook one-cell-at-a-time peel — a pure cell holds exactly one
+        net key, so removing each distinct recovered key once is valid
+        regardless of wave order — but O(d/m)× fewer full-array scans:
+        cost is O(m × waves) instead of O(m × d), and random IBLTs decode
+        in O(log d) waves."""
         count = self.count.copy()
         key_xor = self.key_xor.copy()
         chk_xor = self.chk_xor.copy()
-        out_keys: list[int] = []
-        out_signs: list[int] = []
+        out_keys: list[np.ndarray] = []
+        out_signs: list[np.ndarray] = []
         for _ in range(max_iters):
             pure = np.flatnonzero(
                 ((count == 1) | (count == -1))
                 & (_check(key_xor) == chk_xor))
             if pure.size == 0:
                 break
-            cell = int(pure[0])
-            key = key_xor[cell].reshape(1).astype(_U64)
-            sign = int(count[cell])
-            out_keys.append(int(key[0]))
-            out_signs.append(sign)
-            idx = km_indices(key, self.k, self.m).ravel()
-            np.add.at(count, idx, -sign)
-            np.bitwise_xor.at(key_xor, idx, np.repeat(key, self.k))
-            np.bitwise_xor.at(chk_xor, idx, np.repeat(_check(key), self.k))
+            keys, first = np.unique(key_xor[pure], return_index=True)
+            signs = count[pure][first].astype(np.int64)
+            out_keys.append(keys)
+            out_signs.append(signs)
+            idx = km_indices(keys, self.k, self.m).ravel()
+            np.add.at(count, idx, -np.repeat(signs, self.k))
+            np.bitwise_xor.at(key_xor, idx, np.repeat(keys, self.k))
+            np.bitwise_xor.at(chk_xor, idx,
+                              np.repeat(_check(keys), self.k))
         decoded = bool((count == 0).all())
-        return (np.array(out_keys, dtype=_U64),
-                np.array(out_signs, dtype=np.int64), decoded)
+        keys = (np.concatenate(out_keys) if out_keys
+                else np.zeros(0, dtype=_U64))
+        signs = (np.concatenate(out_signs) if out_signs
+                 else np.zeros(0, dtype=np.int64))
+        return keys, signs, decoded
 
     @property
     def size_bytes(self) -> int:

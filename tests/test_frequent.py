@@ -1,0 +1,89 @@
+"""Misra-Gries kernel + exact heavy-hitters operator."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.kernels.spacesaving import MisraGriesSketch
+from bloom_filters_spark.kernels.hashing import to_u64
+from bloom_filters_spark.operators.frequent import heavy_hitters
+
+
+def _zipf_batch(rng, n, n_keys=5000, a=1.3):
+    return rng.zipf(a, size=n).clip(max=n_keys).astype(np.int64)
+
+
+def test_mg_never_overestimates_and_bound_holds():
+    rng = np.random.default_rng(7)
+    data = _zipf_batch(rng, 200_000)
+    sk = MisraGriesSketch(64)
+    for chunk in np.array_split(data, 37):
+        sk.update_hashes(chunk)
+    exact = dict(zip(*np.unique(to_u64(data), return_counts=True)))
+    assert sk.n_total == data.size
+    assert sk.error_bound <= data.size / 65
+    est = sk.estimate_hashes(sk.keys)
+    for key, e in zip(sk.keys, est):
+        f = int(exact[key])
+        assert e <= f and f - e <= sk.error_bound
+
+
+def test_mg_retains_every_key_above_floor():
+    rng = np.random.default_rng(11)
+    data = _zipf_batch(rng, 300_000)
+    sk = MisraGriesSketch(100)
+    sk.update_hashes(data)
+    keys, counts = np.unique(to_u64(data), return_counts=True)
+    floor = data.size / 101
+    summary = set(sk.keys.tolist())
+    for key, f in zip(keys, counts):
+        if f > floor:
+            assert int(key) in summary
+
+
+def test_mg_merge_equals_single_pass_guarantees():
+    rng = np.random.default_rng(3)
+    data = _zipf_batch(rng, 100_000)
+    parts = np.array_split(data, 8)
+    merged = MisraGriesSketch(32)
+    for p in parts:
+        part = MisraGriesSketch(32)
+        part.update_hashes(p)
+        merged = merged.merge(part)
+    assert merged.n_total == data.size
+    assert merged.error_bound <= data.size / 33
+    exact = dict(zip(*np.unique(to_u64(data), return_counts=True)))
+    est = merged.estimate_hashes(merged.keys)
+    for key, e in zip(merged.keys, est):
+        f = int(exact[key])
+        assert e <= f and f - e <= merged.error_bound
+
+
+def test_mg_serialization_roundtrip():
+    from bloom_filters_spark.kernels import sketch_from_bytes
+    sk = MisraGriesSketch(16)
+    sk.update_hashes(np.arange(100, dtype=np.int64) % 7)
+    back = sketch_from_bytes(sk.to_bytes())
+    assert back.to_bytes() == sk.to_bytes()
+    assert back.capacity == 16 and back.n_total == 100
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    rng = np.random.default_rng(5)
+    vals = [f"tok{v}" for v in _zipf_batch(rng, 50_000, n_keys=2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "token string")
+    df = df.repartition(8).persist()
+    got = {(r["token"], r["cnt"]) for r in
+           heavy_hitters(df, "token", capacity=128).collect()}
+    thresh = len(vals) / 129
+    want = {(r["token"], r["cnt"]) for r in
+            df.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > thresh).collect()}
+    df.unpersist()
+    assert got == want and got
+
+
+def test_heavy_hitters_threshold_below_floor_raises(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="completeness floor"):
+        heavy_hitters(df, "v", capacity=10, threshold=1)
