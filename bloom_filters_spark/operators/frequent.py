@@ -25,8 +25,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..kernels.base import sketch_from_bytes
 from ..kernels.spacesaving import MisraGriesSketch
-from .agg import build_sketch, hash_col
+from .agg import build_grouped_sketches, build_sketch, hash_col
 
 
 def heavy_hitters(df: DataFrame, col: str, *, capacity: int = 256,
@@ -59,3 +60,45 @@ def heavy_hitters(df: DataFrame, col: str, *, capacity: int = 256,
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias(out_col))
             .where(F.col(out_col) > F.lit(float(threshold))))
+
+
+def heavy_hitters_by_group(df: DataFrame, col: str,
+                           group_cols: list[str], *, capacity: int = 64,
+                           seed: int = 0,
+                           out_col: str = "cnt") -> DataFrame:
+    """→ DataFrame(group_cols..., col, cnt): per-group exact heavy
+    hitters — every value whose count WITHIN its group exceeds that
+    group's n_g/(capacity+1) floor (e.g. per-language stopwords).
+
+    Same two-pass shape as ``heavy_hitters``, grouped: pass 1 is
+    ``build_grouped_sketches`` (map-side group→MG dict; only
+    (group, counter-rows) partials shuffle), whose ≤ G summary rows
+    are collected once — the driver-side state is G × capacity
+    (key, count) pairs, the per-group thresholds come from the same
+    rows. Pass 2 semi-joins the (group, candidate-hash) pairs back
+    onto the stream and recounts exactly; each group's completeness
+    follows from its own MG retention guarantee. G is the grouping
+    cardinality (languages, domains-classes — not user ids): the
+    broadcast is G × capacity hashes."""
+    gcols = list(group_cols)
+    summaries = build_grouped_sketches(
+        df.where(F.col(col).isNotNull()), col,
+        lambda: MisraGriesSketch(capacity), gcols, seed=seed)
+    spark = df.sparkSession
+    cand_rows, floor_rows = [], []
+    for r in summaries.collect():
+        g = tuple(r[c] for c in gcols)
+        sk = sketch_from_bytes(bytes(r["payload"]))
+        floor_rows.append((*g, float(int(r["n_rows"]) / (capacity + 1))))
+        cand_rows.extend((*g, int(k)) for k in sk.keys.view("int64"))
+    gschema = ", ".join(f"`{c}` {t}" for c, t in df.select(*gcols).dtypes)
+    cand = spark.createDataFrame(cand_rows, f"{gschema}, __h long")
+    floors = spark.createDataFrame(floor_rows, f"{gschema}, __floor double")
+    return (df.where(F.col(col).isNotNull())
+            .withColumn("__h", hash_col(F.col(col), seed))
+            .join(F.broadcast(cand), on=[*gcols, "__h"], how="left_semi")
+            .groupBy(*gcols, col)
+            .agg(F.count(F.lit(1)).alias(out_col))
+            .join(F.broadcast(floors), on=gcols)
+            .where(F.col(out_col) > F.col("__floor"))
+            .drop("__floor"))

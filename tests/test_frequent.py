@@ -87,3 +87,29 @@ def test_heavy_hitters_threshold_below_floor_raises(spark):
     df = spark.range(1000).select(F.col("id").alias("v"))
     with pytest.raises(ValueError, match="completeness floor"):
         heavy_hitters(df, "v", capacity=10, threshold=1)
+
+
+def test_heavy_hitters_by_group_exact(spark):
+    rng = np.random.default_rng(13)
+    rows = []
+    # two groups with DIFFERENT hot keys and sizes: per-group floors
+    # must come from each group's own n, not the global stream
+    for g, size, keys in (("en", 30_000, 400), ("de", 6_000, 80)):
+        for v in rng.zipf(1.4, size=size).clip(max=keys):
+            rows.append((g, f"{g}-tok{v}"))
+    df = spark.createDataFrame(rows, "lang string, token string") \
+        .repartition(8).persist()
+    from bloom_filters_spark.operators.frequent import heavy_hitters_by_group
+    got = {(r["lang"], r["token"], r["cnt"]) for r in
+           heavy_hitters_by_group(df, "token", ["lang"],
+                                  capacity=48).collect()}
+    exact = df.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    totals = df.groupBy("lang").agg(
+        (F.count(F.lit(1)) / 49).alias("floor"))
+    want = {(r["lang"], r["token"], r["cnt"]) for r in
+            exact.join(totals, on="lang")
+            .where(F.col("cnt") > F.col("floor")).collect()}
+    df.unpersist()
+    assert got == want and got
+    assert any(g == "de" for g, _, _ in got)
