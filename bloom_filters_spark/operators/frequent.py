@@ -50,13 +50,20 @@ def heavy_hitters(df: DataFrame, col: str, *, capacity: int = 256,
             f"threshold {threshold} is below the completeness floor "
             f"n/(capacity+1) = {floor:.1f}; raise capacity to "
             f"{int(n / threshold)} or more for this threshold")
-    spark = df.sparkSession
-    cand = spark.createDataFrame(
-        [(int(k),) for k in mg.keys.view("int64")], "key_hash long")
-    return (df.where(F.col(col).isNotNull())
-            .withColumn("__h", hash_col(F.col(col), seed))
-            .join(F.broadcast(cand),
-                  F.col("__h") == F.col("key_hash"), "left_semi")
+    keys = [int(k) for k in mg.keys.view("int64")]
+    hashed = (df.where(F.col(col).isNotNull())
+              .withColumn("__h", hash_col(F.col(col), seed)))
+    if len(keys) <= 4096:
+        # small candidate sets compile to an InSet predicate inside
+        # whole-stage codegen — no exchange, no broadcast build
+        filtered = hashed.where(F.col("__h").isin(keys))
+    else:
+        cand = df.sparkSession.createDataFrame(
+            [(k,) for k in keys], "key_hash long")
+        filtered = hashed.join(F.broadcast(cand),
+                               F.col("__h") == F.col("key_hash"),
+                               "left_semi")
+    return (filtered
             .groupBy(col)
             .agg(F.count(F.lit(1)).alias(out_col))
             .where(F.col(out_col) > F.lit(float(threshold))))
