@@ -6,7 +6,8 @@ C++ project Y8ungS8ul/Bloom-Filters (Bloom / counting / invertible /
 dynamic Bloom filters, Cuckoo filter, HyperLogLog) re-expressed as
 mergeable aggregators over Spark DataFrames, extended with count-min,
 KLL, and t-digest, plus the web-scale pipeline operators a training-data
-workload needs (dedup, similarity search, text analysis).
+workload needs (dedup, similarity search, text analysis, exact heavy
+hitters, IBF table reconciliation, sketch-indexed scan pruning).
 
 Layers:
   kernels/    pure-numpy mergeable sketches (no Spark)

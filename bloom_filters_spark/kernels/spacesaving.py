@@ -63,10 +63,17 @@ class MisraGriesSketch:
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.capacity = int(capacity)
-        self.keys = (np.zeros(0, dtype=_U64) if keys is None
-                     else to_u64(np.asarray(keys)))
-        self.counts = (np.zeros(0, dtype=np.int64) if counts is None
-                       else np.asarray(counts, dtype=np.int64))
+        keys = (np.zeros(0, dtype=_U64) if keys is None
+                else to_u64(np.asarray(keys)))
+        counts = (np.zeros(0, dtype=np.int64) if counts is None
+                  else np.asarray(counts, dtype=np.int64))
+        # estimate_hashes binary-searches keys; internal state is always
+        # np.unique-sorted, but guard caller-provided arrays too
+        if keys.size > 1 and not (keys[:-1] < keys[1:]).all():
+            order = np.argsort(keys)
+            keys, counts = keys[order], counts[order]
+        self.keys = keys
+        self.counts = counts
         self.n_total = int(n_total)
         self.decrement_total = int(decrement_total)
 
