@@ -59,9 +59,16 @@ _DIFF_SCHEMA = "shard int, key_hash long, sign int, decoded boolean"
 
 def build_ibf_shards(df: DataFrame, col: str, n_shards: int,
                      cells_per_shard: int, *, k: int = 3,
-                     seed: int = 0) -> DataFrame:
+                     seed: int = 0, merge_salts: int = 0) -> DataFrame:
     """→ DataFrame(shard, payload, n_rows, n_shards): one IBF per
-    hash-range shard, built partial-first (key rows never shuffle)."""
+    hash-range shard, built partial-first (key rows never shuffle).
+
+    With P input partitions the shard merge folds ≤ P partials per
+    shard in one task; at very large P pass ``merge_salts`` ≈ √P to
+    insert a salted intermediate merge level (two-level tree, the
+    same guard as build_grouped_sketches). IBF merge is cellwise
+    add/xor — fully associative AND commutative — so the result is
+    byte-identical whatever the tree shape (tested)."""
     m, kk, ns = int(cells_per_shard), int(k), int(n_shards)
     hashed = (df.where(F.col(col).isNotNull())
               .select(hash_col(F.col(col), seed).alias("__h"),
@@ -96,6 +103,16 @@ def build_ibf_shards(df: DataFrame, col: str, n_shards: int,
 
     parts = hashed.mapInPandas(
         partials, schema="shard int, payload binary, n_rows long")
+    if merge_salts > 1:
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            return merge_shard(pdf.drop(columns=["__salt"]))
+        parts = (parts
+                 .withColumn("__salt",
+                             F.pmod(F.xxhash64(F.col("payload")),
+                                    F.lit(merge_salts)).cast("int"))
+                 .groupby("shard", "__salt")
+                 .applyInPandas(merge_salted, schema=_SHARD_SCHEMA)
+                 .drop("n_shards"))
     return parts.groupby("shard").applyInPandas(merge_shard,
                                                schema=_SHARD_SCHEMA)
 

@@ -93,3 +93,15 @@ def test_shard_build_moves_only_sketch_bytes(spark):
     assert {r["n_shards"] for r in rows} == {8}
     assert sum(r["n_rows"] for r in rows) == 10_000
     assert set(sh.columns) == {"shard", "payload", "n_rows", "n_shards"}
+
+
+def test_salted_merge_level_byte_identical(spark):
+    # IBF merge is associative+commutative, so the two-level salted
+    # tree must produce byte-identical shard payloads
+    src = _keyed(spark, 0, 20_000).repartition(16)
+    flat = {r["shard"]: bytes(r["payload"]) for r in
+            rc.build_ibf_shards(src, "k", 8, 256).collect()}
+    salted = {r["shard"]: bytes(r["payload"]) for r in
+              rc.build_ibf_shards(src, "k", 8, 256,
+                                  merge_salts=4).collect()}
+    assert flat == salted
