@@ -113,3 +113,33 @@ def test_heavy_hitters_by_group_exact(spark):
     df.unpersist()
     assert got == want and got
     assert any(g == "de" for g, _, _ in got)
+
+
+def test_mg_under_streaming_accumulation(spark):
+    # MG follows the aggregator protocol, so the streaming foreachBatch
+    # accumulator works unchanged: fold 5 micro-batches, then check the
+    # merged summary's retention + bound against the full stream
+    from bloom_filters_spark.streaming.accumulate import (
+        StreamingSketchAccumulator)
+    rng = np.random.default_rng(17)
+    data = _zipf_batch(rng, 60_000, n_keys=1500)
+    acc = StreamingSketchAccumulator("v", lambda: MisraGriesSketch(64))
+    for i, chunk in enumerate(np.array_split(data, 5)):
+        batch = spark.createDataFrame([(int(v),) for v in chunk],
+                                      "v long")
+        acc(batch, i)
+    assert acc.n_rows == data.size and acc.n_batches == 5
+    mg = acc.sketch
+    assert mg.error_bound <= data.size / 65
+    # retention over the whole stream: hashes must match the Spark-side
+    # xxhash64(v, 0) the accumulator used
+    hashed = spark.createDataFrame([(int(v),) for v in data], "v long") \
+        .select(F.xxhash64("v", F.lit(0)).alias("h"), "v")
+    counts = {r["h"]: r["c"] for r in
+              hashed.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    floor = data.size / 65
+    summary = set(mg.keys.view("int64").tolist())
+    missing = [h for h, c in counts.items() if c > floor
+               and h not in summary]
+    assert not missing
