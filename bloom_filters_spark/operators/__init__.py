@@ -4,7 +4,8 @@ from .agg import (build_grouped_sketches, build_sketch, cms_lookup,
 from .collisions import (absolute_collisions, collision_sweep_k,
                          collision_sweep_m, probe_indices,
                          relative_collisions)
-from .frequent import heavy_hitters, heavy_hitters_by_group
+from .frequent import (heavy_hitters, heavy_hitters_by_group,
+                       mg_lookup)
 from .joins import bloom_antijoin, bloom_semijoin
 from .reconcile import build_ibf_shards, ibf_diff_shards, reconcile_keys
 from .skipping import (build_scan_index, build_scan_index_for_files,
@@ -37,7 +38,7 @@ __all__ = [
     "probe_indices", "relative_collisions", "absolute_collisions",
     "collision_sweep_k", "collision_sweep_m",
     "bloom_semijoin", "bloom_antijoin", "heavy_hitters",
-    "heavy_hitters_by_group",
+    "heavy_hitters_by_group", "mg_lookup",
     "build_ibf_shards", "ibf_diff_shards", "reconcile_keys",
     "stage_clustered", "build_scan_index", "build_scan_index_for_files",
     "extend_scan_index", "prune_files", "pruned_lookup",

@@ -23,6 +23,8 @@ boilerplate discovery over 100 TB corpora.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.base import sketch_from_bytes
@@ -109,3 +111,21 @@ def heavy_hitters_by_group(df: DataFrame, col: str,
             .join(F.broadcast(floors), on=gcols)
             .where(F.col(out_col) > F.col("__floor"))
             .drop("__floor"))
+
+
+def mg_lookup(df: DataFrame, col: str, mg: MisraGriesSketch, *,
+              seed: int = 0, out_col: str = "mg_lower_bound") -> DataFrame:
+    """Point-frequency LOWER bounds from a broadcast Misra-Gries summary
+    (the mirror of ``agg.cms_lookup``'s upper bounds: CMS never under-
+    estimates, MG never over-estimates; together they bracket the true
+    count within [mg_est, cms_est] with mg_est >= f - n/(c+1))."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(mg.to_bytes())
+
+    @F.pandas_udf("long")
+    def lookup(h: pd.Series) -> pd.Series:
+        sk = sketch_from_bytes(bc.value)
+        est = sk.estimate_hashes(h.to_numpy(dtype=np.int64, na_value=0))
+        return pd.Series(est)
+
+    return df.withColumn(out_col, lookup(hash_col(F.col(col), seed)))

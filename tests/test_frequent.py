@@ -143,3 +143,20 @@ def test_mg_under_streaming_accumulation(spark):
     missing = [h for h, c in counts.items() if c > floor
                and h not in summary]
     assert not missing
+
+
+def test_mg_lookup_brackets_exact_counts(spark):
+    from bloom_filters_spark.operators.frequent import mg_lookup
+    from bloom_filters_spark.operators.agg import build_sketch
+    rng = np.random.default_rng(23)
+    vals = [f"w{v}" for v in _zipf_batch(rng, 40_000, n_keys=800)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string") \
+        .repartition(8).persist()
+    mg, n = build_sketch(df, "w", lambda: MisraGriesSketch(64))
+    exact = df.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    got = mg_lookup(exact, "w", mg).collect()
+    df.unpersist()
+    assert got
+    for r in got:
+        assert r["mg_lower_bound"] <= r["cnt"]
+        assert r["cnt"] - r["mg_lower_bound"] <= n / 65 + 1e-9
