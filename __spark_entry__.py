@@ -948,7 +948,8 @@ def q_bloom_join(spark, sf_dir):
                                        "o_orderkey")
         row = res.agg(
             F.count("*").alias("n_pruned"),
-            F.sum("o_orderkey").alias("pruned_sum")).collect()[0]
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias(
+                "pruned_sum")).collect()[0]
         idx.unpersist()
         p = spark.createDataFrame(
             [(int(row["n_pruned"]), int(row["pruned_sum"]),

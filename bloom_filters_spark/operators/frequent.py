@@ -23,13 +23,16 @@ boilerplate discovery over 100 TB corpora.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.base import sketch_from_bytes
 from ..kernels.spacesaving import MisraGriesSketch
-from .agg import build_grouped_sketches, build_sketch, hash_col
+from .agg import _cached_sketch, build_grouped_sketches, build_sketch, \
+    hash_col
 
 
 def heavy_hitters(df: DataFrame, col: str, *, capacity: int = 256,
@@ -48,10 +51,13 @@ def heavy_hitters(df: DataFrame, col: str, *, capacity: int = 256,
     if threshold is None:
         threshold = floor
     if threshold < floor:
+        hint = (f"; raise capacity to {math.ceil(n / threshold)} or more "
+                f"for this threshold" if threshold > 0 else
+                "; a non-positive threshold has no capacity that can "
+                "guarantee completeness")
         raise ValueError(
             f"threshold {threshold} is below the completeness floor "
-            f"n/(capacity+1) = {floor:.1f}; raise capacity to "
-            f"{int(n / threshold)} or more for this threshold")
+            f"n/(capacity+1) = {floor:.1f}{hint}")
     keys = [int(k) for k in mg.keys.view("int64")]
     hashed = (df.where(F.col(col).isNotNull())
               .withColumn("__h", hash_col(F.col(col), seed)))
@@ -71,9 +77,13 @@ def heavy_hitters(df: DataFrame, col: str, *, capacity: int = 256,
             .where(F.col(out_col) > F.lit(float(threshold))))
 
 
+_DEFAULT_MAX_GROUPS = 100_000
+
+
 def heavy_hitters_by_group(df: DataFrame, col: str,
                            group_cols: list[str], *, capacity: int = 64,
                            seed: int = 0,
+                           max_groups: int = _DEFAULT_MAX_GROUPS,
                            out_col: str = "cnt") -> DataFrame:
     """→ DataFrame(group_cols..., col, cnt): per-group exact heavy
     hitters — every value whose count WITHIN its group exceeds that
@@ -88,11 +98,23 @@ def heavy_hitters_by_group(df: DataFrame, col: str,
     onto the stream and recounts exactly; each group's completeness
     follows from its own MG retention guarantee. G is the grouping
     cardinality (languages, domains-classes — not user ids): the
-    broadcast is G × capacity hashes."""
+    broadcast is G × capacity hashes, and ``max_groups`` makes a
+    high-cardinality grouping fail loudly (with guidance) instead of
+    silently collecting an unbounded summary set onto the driver."""
     gcols = list(group_cols)
     summaries = build_grouped_sketches(
         df.where(F.col(col).isNotNull()), col,
-        lambda: MisraGriesSketch(capacity), gcols, seed=seed)
+        lambda: MisraGriesSketch(capacity), gcols, seed=seed).persist()
+    n_groups = summaries.limit(max_groups + 1).count()
+    if n_groups > max_groups:
+        summaries.unpersist()
+        raise ValueError(
+            f"heavy_hitters_by_group collects one {capacity}-counter "
+            f"summary per group to the driver; grouping by {gcols} "
+            f"yields more than max_groups={max_groups} groups. This "
+            "path is for low-cardinality groupings (languages, "
+            "domains); for a high-cardinality key use a plain groupBy "
+            "count, or raise max_groups explicitly.")
     spark = df.sparkSession
     cand_rows, floor_rows = [], []
     for r in summaries.collect():
@@ -100,6 +122,7 @@ def heavy_hitters_by_group(df: DataFrame, col: str,
         sk = sketch_from_bytes(bytes(r["payload"]))
         floor_rows.append((*g, float(int(r["n_rows"]) / (capacity + 1))))
         cand_rows.extend((*g, int(k)) for k in sk.keys.view("int64"))
+    summaries.unpersist()
     gschema = ", ".join(f"`{c}` {t}" for c, t in df.select(*gcols).dtypes)
     cand = spark.createDataFrame(cand_rows, f"{gschema}, __h long")
     floors = spark.createDataFrame(floor_rows, f"{gschema}, __floor double")
@@ -124,7 +147,9 @@ def mg_lookup(df: DataFrame, col: str, mg: MisraGriesSketch, *,
 
     @F.pandas_udf("long")
     def lookup(h: pd.Series) -> pd.Series:
-        sk = sketch_from_bytes(bc.value)
+        # _cached_sketch: per-worker LRU — deserialize once per
+        # executor, not once per Arrow batch (mirrors cms_lookup)
+        sk = _cached_sketch(bc.value)
         est = sk.estimate_hashes(h.to_numpy(dtype=np.int64, na_value=0))
         return pd.Series(est)
 

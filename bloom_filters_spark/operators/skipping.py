@@ -61,8 +61,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..kernels.bloom import BloomSketch
 from .agg import _cached_sketch, hash_col
 
-INDEX_SCHEMA = ("file string, n_rows long, min_key string, "
-                "max_key string, payload binary")
+def _index_schema(key_type: str) -> str:
+    """Index schema with the zone map in the KEY'S NATIVE TYPE.
+
+    Storing ``min_key``/``max_key`` as the key's own Spark type (not a
+    stringified rendering) keeps pruning comparisons bit-faithful for
+    every key type — float/timestamp/decimal keys never round-trip
+    through ``str()``/``cast`` where representation infidelity could
+    silently prune a qualifying file and break the no-false-negative
+    contract.
+    """
+    return (f"file string, n_rows long, min_key {key_type}, "
+            f"max_key {key_type}, payload binary")
+
 
 _DEFAULT_MAX_PROBES = 100_000
 
@@ -87,10 +98,11 @@ def build_scan_index(spark: SparkSession, path: str, key_col: str, *,
     """One scan → one index row per data file.
 
     Columns: ``file`` (fully-qualified URI), ``n_rows``, ``min_key`` /
-    ``max_key`` (zone map, carried as strings for a type-stable index
-    schema; pruning compares in the key's native type), ``payload``
+    ``max_key`` (zone map, carried in the key's NATIVE type so pruning
+    comparisons are bit-faithful for every key type), ``payload``
     (Bloom over xxhash64(key, seed), capacity = the file's exact row
     count so the per-file fpp is honoured regardless of file sizes).
+    Rows with a NULL key are excluded (a NULL never matches a probe).
 
     ``applyInPandas`` sees each file's full (key, hash) columns at
     once — that is what lets the filter be exactly sized with no
@@ -103,19 +115,27 @@ def _index_over(df: DataFrame, key_col: str, fpp: float,
                 seed: int) -> DataFrame:
     def build_row(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = BloomSketch.from_capacity(max(len(pdf), 1), fpp)
-        sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64, na_value=0))
+        sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64))
         return pd.DataFrame({
             "file": [pdf["file"].iloc[0]],
             "n_rows": [len(pdf)],
-            "min_key": [str(pdf["__k"].min())],
-            "max_key": [str(pdf["__k"].max())],
+            "min_key": [pdf["__k"].min()],
+            "max_key": [pdf["__k"].max()],
             "payload": [sk.to_bytes()],
         })
 
-    src = df.select(F.input_file_name().alias("file"),
-                    F.col(key_col).alias("__k"),
-                    hash_col(F.col(key_col), seed).alias("__h"))
-    return src.groupBy("file").applyInPandas(build_row, schema=INDEX_SCHEMA)
+    # NULL keys are dropped BEFORE indexing: a NULL never satisfies an
+    # equality or range probe (SQL three-valued logic), so excluding it
+    # cannot cause a false negative — while letting one through would
+    # force Arrow to promote int columns to float64 (precision loss on
+    # large int64 keys) and poison the native-typed zone map.
+    key_type = df.schema[key_col].dataType.simpleString()
+    src = df.where(F.col(key_col).isNotNull()).select(
+        F.input_file_name().alias("file"),
+        F.col(key_col).alias("__k"),
+        hash_col(F.col(key_col), seed).alias("__h"))
+    return src.groupBy("file").applyInPandas(
+        build_row, schema=_index_schema(key_type))
 
 
 def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
@@ -125,16 +145,19 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
 
     Two sieves, cheapest first:
     1. zone map — a range semi join keeps only files whose
-       [min_key, max_key] contains at least one probe key (native-type
-       comparison via a cast of the stored string bounds);
+       [min_key, max_key] contains at least one probe key (the bounds
+       are stored in the key's native type, so the comparison is
+       bit-faithful for int/float/timestamp/string keys alike);
     2. Bloom — probe hashes are broadcast once; a vectorized pandas UDF
        asks each surviving file's filter for ANY hit.
 
     No false negatives at either sieve, so the returned list is a
-    superset of the files that actually contain matches.
+    superset of the files that actually contain matches. NULL probe
+    keys are ignored (they can never match under SQL semantics).
     """
     spark = index_df.sparkSession
-    probes = probe_df.select(F.col(key_col).alias("__k")).distinct()
+    probes = (probe_df.select(F.col(key_col).alias("__k"))
+              .where(F.col("__k").isNotNull()).distinct())
     # one collect serves both the size guard and the probe hashes
     rows = (probes.select("__k", hash_col(F.col("__k"), seed).alias("__h"))
             .limit(max_probes + 1).collect())
@@ -144,13 +167,12 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
             "probe keys); for large probe sets use bloom_semijoin")
     if not rows:
         return []
-    key_type = probes.schema["__k"].dataType.simpleString()
     hashes = np.array([r["__h"] for r in rows], dtype=np.int64)
 
     zoned = index_df.join(
         probes,
-        (probes["__k"] >= index_df["min_key"].cast(key_type))
-        & (probes["__k"] <= index_df["max_key"].cast(key_type)),
+        (probes["__k"] >= index_df["min_key"])
+        & (probes["__k"] <= index_df["max_key"]),
         "left_semi")
 
     bc = spark.sparkContext.broadcast(hashes)
@@ -169,6 +191,7 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
 def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
                   probe_df: DataFrame, key_col: str, *, seed: int = 0,
                   max_probes: int = _DEFAULT_MAX_PROBES,
+                  files_total: int | None = None,
                   ) -> tuple[DataFrame, dict]:
     """Exact lookup of ``probe_df[key_col]`` scanning only candidate files.
 
@@ -176,10 +199,13 @@ def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
     ``full_scan.join(probes, key, 'left_semi')`` (the final broadcast
     semi join removes Bloom false positives) and ``stats`` records
     ``files_total`` / ``files_scanned`` — the skipping win itself.
+    Pass ``files_total`` (one row per file, so ``index_df.count()``) to
+    skip the stats-only count job on repeated lookups.
     """
     files = prune_files(index_df, probe_df, key_col,
                         seed=seed, max_probes=max_probes)
-    files_total = index_df.select("file").distinct().count()
+    if files_total is None:
+        files_total = index_df.select("file").distinct().count()
     full = spark.read.parquet(path)
     if not files:
         return full.where(F.lit(False)), {
@@ -192,7 +218,9 @@ def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
 
 
 def pruned_range_scan(spark: SparkSession, path: str, index_df: DataFrame,
-                      key_col: str, lo, hi) -> tuple[DataFrame, dict]:
+                      key_col: str, lo, hi, *,
+                      files_total: int | None = None,
+                      ) -> tuple[DataFrame, dict]:
     """Exact ``lo <= key_col <= hi`` scan reading only overlapping files.
 
     Range predicates are the zone map's home turf (a Bloom cannot
@@ -204,12 +232,11 @@ def pruned_range_scan(spark: SparkSession, path: str, index_df: DataFrame,
     files makes the result bit-identical to the full scan.
     """
     full = spark.read.parquet(path)
-    key_type = full.schema[key_col].dataType.simpleString()
-    pred = (F.col("max_key").cast(key_type) >= F.lit(lo)) \
-        & (F.col("min_key").cast(key_type) <= F.lit(hi))
+    pred = (F.col("max_key") >= F.lit(lo)) & (F.col("min_key") <= F.lit(hi))
     files = [r["file"] for r in
              index_df.where(pred).select("file").collect()]
-    files_total = index_df.select("file").distinct().count()
+    if files_total is None:
+        files_total = index_df.select("file").distinct().count()
     if not files:
         return full.where(F.lit(False)), {
             "files_total": files_total, "files_scanned": 0}

@@ -89,6 +89,27 @@ def test_heavy_hitters_threshold_below_floor_raises(spark):
         heavy_hitters(df, "v", capacity=10, threshold=1)
 
 
+def test_heavy_hitters_nonpositive_threshold_raises_cleanly(spark):
+    # threshold=0 must raise the ValueError (no ZeroDivisionError from
+    # the capacity hint)
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="completeness floor"):
+        heavy_hitters(df, "v", capacity=10, threshold=0)
+    with pytest.raises(ValueError, match="completeness floor"):
+        heavy_hitters(df, "v", capacity=10, threshold=-3)
+
+
+def test_heavy_hitters_by_group_max_groups_guard(spark):
+    from bloom_filters_spark.operators.frequent import heavy_hitters_by_group
+    df = spark.range(500).select(
+        F.col("id").alias("g"), (F.col("id") % 7).alias("v"))
+    with pytest.raises(ValueError, match="max_groups"):
+        heavy_hitters_by_group(df, "v", ["g"], capacity=8, max_groups=100)
+    # and an in-bounds grouping still works
+    ok = heavy_hitters_by_group(df, "v", ["g"], capacity=8, max_groups=500)
+    assert ok.count() > 0
+
+
 def test_heavy_hitters_by_group_exact(spark):
     rng = np.random.default_rng(13)
     rows = []

@@ -105,6 +105,82 @@ def test_string_keys(spark, tmp_path):
     assert stats["files_scanned"] == 2
 
 
+def test_float_keys_bit_identical(spark, tmp_path):
+    # typed zone maps: float keys must never round-trip through str()
+    path = str(tmp_path / "ftbl")
+    df = spark.range(0, 600).select(
+        (F.col("id") * 0.1 + 1e-9).alias("k"))
+    sk.stage_clustered(df, path, "k", 4)
+    idx = sk.build_scan_index(spark, path, "k")
+    probe_vals = [0.1 + 1e-9, 59.9 + 1e-9, 123.456]
+    probes = spark.createDataFrame([(v,) for v in probe_vals], "k double")
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    full = spark.read.parquet(path).join(probes, on="k", how="left_semi")
+    assert sorted(r["k"] for r in got.collect()) == \
+        sorted(r["k"] for r in full.collect())
+    assert stats["files_scanned"] < stats["files_total"]
+    lo, hi = 10.0, 15.05
+    got, stats = sk.pruned_range_scan(spark, path, idx, "k", lo, hi)
+    full = spark.read.parquet(path).where(F.col("k").between(lo, hi))
+    assert sorted(r["k"] for r in got.collect()) == \
+        sorted(r["k"] for r in full.collect())
+    assert stats["files_scanned"] < stats["files_total"]
+
+
+def test_timestamp_keys_bit_identical(spark, tmp_path):
+    import datetime as dt
+    path = str(tmp_path / "tstbl")
+    base = dt.datetime(2024, 1, 1)
+    df = spark.range(0, 480).select(
+        (F.lit(base) + F.make_interval(hours=F.col("id"))).alias("k"))
+    sk.stage_clustered(df, path, "k", 4)
+    idx = sk.build_scan_index(spark, path, "k")
+    present = base + dt.timedelta(hours=100)
+    absent = base + dt.timedelta(hours=100, minutes=30)
+    far = dt.datetime(2030, 1, 1)
+    probes = spark.createDataFrame(
+        [(present,), (absent,), (far,)], "k timestamp")
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    assert [r["k"] for r in got.collect()] == [present]
+    assert stats["files_scanned"] < stats["files_total"]
+    lo, hi = base + dt.timedelta(hours=50), base + dt.timedelta(hours=170)
+    got, stats = sk.pruned_range_scan(spark, path, idx, "k", lo, hi)
+    full = spark.read.parquet(path).where(F.col("k").between(lo, hi))
+    assert sorted(r["k"] for r in got.collect()) == \
+        sorted(r["k"] for r in full.collect())
+    assert 1 <= stats["files_scanned"] < stats["files_total"]
+
+
+def test_null_keys_do_not_poison_index(spark, tmp_path):
+    # a file with NULL keys must still be indexed from its non-null
+    # keys in the native type (no Arrow float64 promotion), and large
+    # int64 keys must survive without precision loss
+    path = str(tmp_path / "ntbl")
+    big = 2**62 + 1           # not representable in float64
+    rows = [(big,), (big + 2,), (None,), (7,), (None,), (9,)]
+    df = spark.createDataFrame(rows, "k long").coalesce(1)
+    df.write.mode("overwrite").parquet(path)
+    idx = sk.build_scan_index(spark, path, "k")
+    r = idx.collect()[0]
+    assert r["min_key"] == 7 and r["max_key"] == big + 2
+    assert r["n_rows"] == 4
+    probes = _probe_df(spark, [big, big + 1, 9])
+    got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+    assert sorted(r["k"] for r in got.collect()) == [9, big]
+    assert stats["files_scanned"] == 1
+    # NULL probe keys are ignored, not crashed on
+    nprobes = spark.createDataFrame([(None,), (7,)], "k long")
+    got, _ = sk.pruned_lookup(spark, path, idx, nprobes, "k")
+    assert [r["k"] for r in got.collect()] == [7]
+
+
+def test_files_total_cache_param(spark, staged):
+    path, idx = staged
+    got, stats = sk.pruned_lookup(spark, path, idx, _probe_df(spark, [7]),
+                                  "k", files_total=N_FILES)
+    assert stats["files_total"] == N_FILES and got.count() == 1
+
+
 def test_max_probes_guard(spark, staged):
     _, idx = staged
     probes = _probe_df(spark, range(20))
