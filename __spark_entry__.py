@@ -24,6 +24,7 @@ import math
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from bloom_filters_spark.kernels import (
@@ -33,7 +34,7 @@ from bloom_filters_spark.kernels import (
 )
 from bloom_filters_spark.operators.agg import (
     build_grouped_sketches, build_sketch, cms_lookup, estimate_grouped,
-    hash_col, ibf_recover, probe_membership,
+    hash_col, ibf_recover, probe_membership, quantiles_grouped,
 )
 from bloom_filters_spark.operators import dedup as dd
 from bloom_filters_spark.operators import frequent as fq
@@ -300,9 +301,23 @@ def q_bloom_contract(spark, sf_dir):
     absent = spark.range(10_000_000, 10_020_000).select(
         F.col("id").alias("o_orderkey"))
     fp = probe_membership(absent, "o_orderkey", sk).where("seen").count()
+    # K3 getIndices (BloomFilter.cpp:51-63): every key derives exactly
+    # k in-range probe indices, distributed; K4 getSizeInBytes: the
+    # serialized bit array is ceil(m/8) for the optimal-formula m
+    from bloom_filters_spark.kernels.bloom import optimal_k, optimal_m
+    from bloom_filters_spark.operators.collisions import probe_indices
+    idx = probe_indices(orders.limit(500), "o_orderkey", sk.k, sk.m)
+    bad_idx = idx.where(
+        (F.size("indices") != sk.k)
+        | F.exists("indices", lambda i: (i < 0) | (i >= sk.m))).count()
+    m_expect = optimal_m(n, p)
+    size_ok = (sk.m == m_expect and sk.k == optimal_k(m_expect, n)
+               and sk.size_bytes == (m_expect + 7) // 8)
     return spark.createDataFrame(
-        [(int(fn), 20_000, bool(fp / 20_000 <= 2 * p))],
-        "false_negatives long, n_probes long, fpr_ok boolean")
+        [(int(fn), 20_000, bool(fp / 20_000 <= 2 * p),
+          int(bad_idx), bool(size_ok))],
+        "false_negatives long, n_probes long, fpr_ok boolean, "
+        "bad_probe_indices long, sizing_ok boolean")
 
 
 def q_hll_bounds(spark, sf_dir):
@@ -324,11 +339,21 @@ def q_hll_bounds(spark, sf_dir):
         parts.append(sk)
     fwd = parts[0].merge(parts[1]).merge(parts[2]).merge(parts[3])
     rev = parts[3].merge(parts[2].merge(parts[1].merge(parts[0])))
+    # K17/K18: register-bank shape m = 2^p, a cleared (fresh) sketch
+    # estimates exactly 0 (linear counting with V=m), and the α bias
+    # constants match the published Flajolet values
+    # (HyperLogLog.cpp:69-77)
+    from bloom_filters_spark.kernels.hll import _alpha
     return spark.createDataFrame(
         [(exact, bool(ok), fwd.to_bytes() == rev.to_bytes(),
-          fwd.to_bytes() == full.to_bytes())],
+          fwd.to_bytes() == full.to_bytes(),
+          int(full.m), float(HLLSketch(12).estimate()),
+          float(_alpha(16)), float(_alpha(32)), float(_alpha(64)),
+          float(_alpha(4096)))],
         "exact_distinct long, within_bound boolean, "
-        "byte_identical boolean, matches_full_build boolean")
+        "byte_identical boolean, matches_full_build boolean, "
+        "m_registers long, empty_estimate double, "
+        "alpha16 double, alpha32 double, alpha64 double, alpha4096 double")
 
 
 def q_hll_by_lang(spark, sf_dir):
@@ -393,7 +418,13 @@ def q_ibf_reconcile(spark, sf_dir):
 
 def q_quantile_bounds(spark, sf_dir):
     """KLL(200) rank error ≤ 0.04 at 6 quantiles AND t-digest(100)
-    rank error ≤ 0.02 at 5 quantiles over events.value, one row."""
+    rank error ≤ 0.02 at 5 quantiles over events.value — PLUS the
+    grouped-quantile path (the north-star per-lang text-length shape):
+    one KLL(200) sketch per lang over documents (grouped map-side
+    combine, value-based), each group's p50/p90 estimate verified
+    against that group's EXACT rank within ±(0.04 + 1/n_g) (the 1/n_g
+    term absorbs discreteness of integer lengths). One row per lang,
+    each carrying the global booleans."""
     ev = _t(spark, sf_dir, "events").select("value")
 
     def rank_ok(sk, n, qs, tol):
@@ -410,11 +441,35 @@ def q_quantile_bounds(spark, sf_dir):
     td, _ = build_sketch(ev, "value", lambda: TDigest(100),
                          value_based=True)
     td_qs = (0.1, 0.25, 0.5, 0.9, 0.99)
-    return spark.createDataFrame(
+    glob = spark.createDataFrame(
         [(len(kll_qs), bool(rank_ok(kll, n, kll_qs, 0.04)),
           len(td_qs), bool(rank_ok(td, n, td_qs, 0.02)))],
         "kll_n_quantiles long, kll_ok boolean, "
         "td_n_quantiles long, td_ok boolean")
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.length("text").cast("double").alias("len")).persist()
+    grouped = build_grouped_sketches(docs, "len", lambda: KLLSketch(200),
+                                     ["lang"], value_based=True)
+    gq = quantiles_grouped(grouped, (0.5, 0.9))
+    est = spark.createDataFrame(
+        [(r["lang"], float(r["quantiles"][0]), float(r["quantiles"][1]))
+         for r in gq.collect()], "lang string, e50 double, e90 double")
+    ranks = (docs.join(F.broadcast(est), "lang")
+             .groupBy("lang")
+             .agg((F.sum((F.col("len") <= F.col("e50")).cast("int")) /
+                   F.count(F.lit(1))).alias("r50"),
+                  (F.sum((F.col("len") <= F.col("e90")).cast("int")) /
+                   F.count(F.lit(1))).alias("r90"),
+                  F.count(F.lit(1)).alias("n_g")))
+    per_lang = ranks.select(
+        "lang",
+        ((F.abs(F.col("r50") - 0.5) <= 0.04 + 1.0 / F.col("n_g")) &
+         (F.abs(F.col("r90") - 0.9) <= 0.04 + 1.0 / F.col("n_g")))
+        .alias("grouped_ok"))
+    out = per_lang.crossJoin(glob)
+    docs.unpersist()
+    return out
 
 
 def q_counting_bloom_delete(spark, sf_dir):
@@ -750,10 +805,11 @@ def q_pages_invariant(spark, sf_dir):
 def q_multimodal(spark, sf_dir):
     """Multimodal plumbing, both stages in one result (r3 registry
     merge): binary payload → fixed-size frame sampling (every 2nd
-    64-byte frame of a 256-byte payload) JOINED with the
-    decode→feature pipeline (deterministic fake codec; every row
-    decodes ok into a 16-dim feature) on media_id — 2 frame rows per
-    media, each carrying that media's decode columns."""
+    64-byte frame of a 269-byte PGM payload) JOINED with the
+    decode→feature pipeline (REAL in-repo pure-numpy Netpbm codec —
+    synthetic_media emits genuine P5 images; every row decodes ok into
+    a 16-dim feature) on media_id — 2 frame rows per media, each
+    carrying that media's decode columns."""
     media = mm.synthetic_media(spark, 100)
     frames = (mm.sample_frames(media, every_n=2, frame_bytes=64)
               .select("media_id", "frame_idx",
@@ -1055,38 +1111,81 @@ def q_fixture_probes(spark, sf_dir):
     n_words = words.count()
     member = words.where(F.col("value") == KNOWN_MEMBER).count() > 0
     absent = words.where(F.col("value") == KNOWN_ABSENT).count() > 0
+    # P3 + A1: CSV field split (Bloom_project field parsing) and exact
+    # distinct over a parsed field — the header contributes 14 fields
+    # and a 5th distinct region value ('Region') atop the 4 data values
+    fields = lines.select(F.split(F.col("value"), ",").alias("f"))
+    n_fields_header = fields.agg(F.max(F.size("f"))).first()[0]
+    distinct_regions = (fields.select(F.col("f")[0].alias("region"))
+                        .distinct().count())
     return spark.createDataFrame(
         [(int(n), bool(header_seen), int(absent_fp),
-          int(n_words), bool(member), bool(absent))],
+          int(n_words), bool(member), bool(absent),
+          int(n_fields_header), int(distinct_regions))],
         "n_lines long, header_seen boolean, absent_false_positives long, "
-        "n_words long, has_member boolean, has_absent boolean")
+        "n_words long, has_member boolean, has_absent boolean, "
+        "n_fields_header long, distinct_regions long")
 
 
 def q_string_digests(spark, sf_dir):
-    """P5 + H4/H5: display truncation substr(0,77) + '...'
-    (Bloom_project/src/core/Bloom_project.cpp:2790) and the
-    cryptographic digest functions (sha256/md5,
-    Bloom_project/src/hash/HashFunctions.cpp:42-70) as JVM built-ins,
-    one row per document."""
+    """P5 + H4/H5 + H1/H2/H3: display truncation substr(0,77) + '...'
+    (Bloom_project/src/core/Bloom_project.cpp:2790), the cryptographic
+    digest functions (sha256/md5, Bloom_project/src/hash/
+    HashFunctions.cpp:42-70) as JVM built-ins, one row per document —
+    plus the reference's non-crypto hash family as distributed parity
+    checksums (poly31 HashFunctions.cpp:13-20, poly37 :28-34,
+    murmur3_32 :81-137): each applied per-word over 100 fixed strings
+    in a pandas UDF and SUMmed; the oracle pins the published-algorithm
+    constants (independently recomputed)."""
+    import pandas as pd
+    from bloom_filters_spark.kernels.hashing import murmur3_32, poly_hash
+
+    @F.pandas_udf("long")
+    def p31(s: pd.Series) -> pd.Series:
+        return pd.Series([poly_hash(x, 31) % 1000003 for x in s])
+
+    @F.pandas_udf("long")
+    def p37(s: pd.Series) -> pd.Series:
+        return pd.Series([poly_hash(x, 37) % 1000003 for x in s])
+
+    @F.pandas_udf("long")
+    def m3(s: pd.Series) -> pd.Series:
+        return pd.Series([murmur3_32(x) for x in s])
+
+    words = spark.range(100).select(
+        F.concat(F.lit("word"), F.col("id")).alias("w"))
+    sums = words.agg(F.sum(p31(F.col("w"))).alias("poly31_checksum"),
+                     F.sum(p37(F.col("w"))).alias("poly37_checksum"),
+                     F.sum(m3(F.col("w"))).alias("murmur3_checksum"))
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.concat(F.substring("text", 1, 77), F.lit("...")).alias("preview"),
         F.md5(F.col("text")).alias("md5_hex"),
-        F.sha2(F.col("text"), 256).alias("sha256_hex"))
+        F.sha2(F.col("text"), 256).alias("sha256_hex")).crossJoin(sums)
 
 
 def q_d1_collision_sweep(spark, sf_dir):
-    """D1 (src/analysis/CollisionAnalyzer.cpp:21-70): relative-collision
-    sweep over k=1..5 at fixed m; collisions grow monotonically with k
-    (each extra hash can only set more bits)."""
-    from bloom_filters_spark.operators.collisions import collision_sweep_k
+    """D1 + D3 (src/analysis/CollisionAnalyzer.cpp:21-70, :152-202):
+    (a) relative-collision sweep over k=1..5 at fixed m — collisions
+    grow monotonically with k (each extra hash can only set more bits);
+    (b) sweep over m at fixed k — collisions shrink monotonically as
+    the bit array grows (fewer forced index coincidences)."""
+    from bloom_filters_spark.operators.collisions import (
+        collision_sweep_k, collision_sweep_m)
     cust = _t(spark, sf_dir, "customer")
     pts = collision_sweep_k(cust, "c_name", m=5000)
     mono = all(pts[i]["relative_collisions"] <= pts[i + 1]["relative_collisions"]
                for i in range(len(pts) - 1))
-    return spark.createDataFrame([(len(pts), bool(mono))],
-                                 "n_points long, monotonic boolean")
+    pts_m = collision_sweep_m(cust, "c_name", k=3, ms=(2000, 12000, 60000))
+    mono_m = all(
+        pts_m[i]["relative_collisions"] >= pts_m[i + 1]["relative_collisions"]
+        for i in range(len(pts_m) - 1))
+    return spark.createDataFrame(
+        [(len(pts), bool(mono), len(pts_m), bool(mono_m))],
+        "n_points long, monotonic boolean, "
+        "m_sweep_points long, m_monotonic boolean")
 
 
 # ===================================================================
@@ -1343,11 +1442,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 5""",
         "bloom_contract":
             "SELECT CAST(0 AS BIGINT) AS false_negatives, "
-            "CAST(20000 AS BIGINT) AS n_probes, TRUE AS fpr_ok",
+            "CAST(20000 AS BIGINT) AS n_probes, TRUE AS fpr_ok, "
+            "CAST(0 AS BIGINT) AS bad_probe_indices, TRUE AS sizing_ok",
         "hll_bounds":
             "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, "
             "TRUE AS within_bound, TRUE AS byte_identical, "
-            "TRUE AS matches_full_build FROM lineitem",
+            "TRUE AS matches_full_build, "
+            "CAST(4096 AS BIGINT) AS m_registers, "
+            "CAST(0.0 AS DOUBLE) AS empty_estimate, "
+            # published Flajolet constants (HyperLogLog.cpp:69-77);
+            # α_m for m>64 via the same IEEE expression
+            "CAST(0.673 AS DOUBLE) AS alpha16, "
+            "CAST(0.697 AS DOUBLE) AS alpha32, "
+            "CAST(0.709 AS DOUBLE) AS alpha64, "
+            "CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 4096.0)"
+            " AS alpha4096 "
+            "FROM lineitem",
         "hll_by_lang":
             "SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, "
             "TRUE AS within_bound FROM documents GROUP BY lang",
@@ -1366,8 +1476,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, 'right_only' AS side FROM orders "
             "WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 = 0",
         "quantile_bounds":
-            "SELECT CAST(6 AS BIGINT) AS kll_n_quantiles, TRUE AS kll_ok, "
-            "CAST(5 AS BIGINT) AS td_n_quantiles, TRUE AS td_ok",
+            "SELECT lang, TRUE AS grouped_ok, "
+            "CAST(6 AS BIGINT) AS kll_n_quantiles, TRUE AS kll_ok, "
+            "CAST(5 AS BIGINT) AS td_n_quantiles, TRUE AS td_ok "
+            "FROM documents GROUP BY lang",
         "counting_bloom_delete":
             "SELECT CAST(0 AS BIGINT) AS false_negatives",
         "cuckoo_contract":
@@ -1539,11 +1651,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(1000 AS BIGINT) AS n_lines, TRUE AS header_seen, "
             "CAST(0 AS BIGINT) AS absent_false_positives, "
             "CAST(10000 AS BIGINT) AS n_words, TRUE AS has_member, "
-            "FALSE AS has_absent",
+            "FALSE AS has_absent, "
+            # header has 14 comma-separated fields; field[0] distinct =
+            # 4 region values + the literal 'Region' header token
+            "CAST(14 AS BIGINT) AS n_fields_header, "
+            "CAST(5 AS BIGINT) AS distinct_regions",
         "string_digests":
             "SELECT doc_id, substr(text, 1, 77) || '...' AS preview, "
-            "md5(text) AS md5_hex, sha256(text) AS sha256_hex "
+            "md5(text) AS md5_hex, sha256(text) AS sha256_hex, "
+            # published-algorithm constants, independently recomputed:
+            # SUM over 'word0'..'word99' of poly31/poly37 mod 1000003
+            # and murmur3_32 (HashFunctions.cpp parity vectors)
+            "CAST(80872690 AS BIGINT) AS poly31_checksum, "
+            "CAST(84632070 AS BIGINT) AS poly37_checksum, "
+            "CAST(207274462628 AS BIGINT) AS murmur3_checksum "
             "FROM documents",
         "d1_collision_sweep":
-            "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic",
+            "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic, "
+            "CAST(3 AS BIGINT) AS m_sweep_points, TRUE AS m_monotonic",
     }

@@ -172,9 +172,22 @@ class CuckooBank:
     any size builds without hard-failing, degrading to more members
     rather than raising (the reference only bounds kicks per filter,
     CuckooFilter.hpp:183; the bank keeps that per-member bound).
+
+    AUTO-COMPACTS: concat-merge alone would grow the bank as
+    O(P × seed_size) for P partitions regardless of item count. But
+    same-shaped members make stored entries portable: a fingerprint
+    occupying bucket ``b`` is valid at ``b`` or ``alt(b, fp)`` in ANY
+    member with the same bucket count (the XOR bucket derivation is an
+    involution, so the pair {b, alt} survives re-homing). ``merge``
+    therefore re-packs all entries into as few members as possible once
+    the concatenated bank reaches ``_COMPACT_AT`` members — the final
+    bank is O(n items), and every merge level stays within the fan-in
+    memory bound like the true-monoid sketches.
     """
 
     __slots__ = ("members",)
+
+    _COMPACT_AT = 8          # concat up to this many members, then re-pack
 
     def __init__(self, members: list[CuckooFilter] | None = None):
         self.members = members or []
@@ -213,7 +226,40 @@ class CuckooBank:
         return out
 
     def merge(self, other: "CuckooBank") -> "CuckooBank":
-        return CuckooBank(self.members + other.members)
+        merged = CuckooBank(self.members + other.members)
+        if len(merged.members) >= self._COMPACT_AT:
+            return merged.compacted()
+        return merged
+
+    def compacted(self) -> "CuckooBank":
+        """Re-pack all entries into as few same-shaped members as
+        possible (grouped by bucket count if shapes ever mix). Each
+        occupied (bucket, fp) slot re-inserts via the normal
+        kick-bounded placement, so load reaches the design ~95% before
+        a fresh member is opened — bank size becomes O(n items)."""
+        if len(self.members) <= 1:
+            return self
+        by_shape: dict[int, list[CuckooFilter]] = {}
+        for m in self.members:
+            by_shape.setdefault(m.nbuckets, []).append(m)
+        out: list[CuckooFilter] = []
+        for nbuckets, group in by_shape.items():
+            shape = group[0].table.shape
+            cur = CuckooFilter(table=np.zeros(shape, dtype=np.uint16))
+            packed = [cur]
+            for m in group:
+                bs, ss = np.nonzero(m.table)
+                fps = m.table[bs, ss]
+                for b, fp in zip(bs.tolist(), fps.tolist()):
+                    homeless = cur._insert_or_evict(int(b), int(fp))
+                    if homeless is not None:
+                        hb, hfp = homeless
+                        cur = CuckooFilter(
+                            table=np.zeros(shape, dtype=np.uint16))
+                        cur._insert_one(hb, hfp)
+                        packed.append(cur)
+            out.extend(p for p in packed if p.n_items > 0)
+        return CuckooBank(out or self.members[:1])
 
     @property
     def size_bytes(self) -> int:

@@ -1,4 +1,4 @@
-"""HyperLogLog — registers uint8; update = np.maximum.at; merge = max.
+"""HyperLogLog — sparse-start registers; update = max; merge = max.
 
 Estimator parity with Bloom_project/src/core/HyperLogLog.cpp:27-50:
   E = α_m · m² / Σ 2^(−reg); if E ≤ 2.5m and V>0 zero registers →
@@ -11,6 +11,18 @@ index as hash % m and rho from trailing zeros of the SAME hash
 breaks the ±1.04/√m bound. We use the published bit-split: top p bits →
 index, leading-zero rank of the remaining 64−p bits → rho. The north
 rule requires the published bound, so the published algorithm wins.
+
+Sparse start (HLL++-style, Heule et al. 2013): a fresh sketch holds a
+{index: rho} dict instead of a dense 2^p register bank, and promotes to
+dense only past m/4 occupied registers. This is what keeps the GROUPED
+map-side combine memory-safe at scale: a partition that sees 1M distinct
+group keys holds 1M tiny dicts (a few counters each), not 1M × 4 KB
+dense banks — the per-task resident bytes track the data actually seen,
+not G × 2^p. Every observable output (estimate, serialized bytes,
+registers) is BIT-IDENTICAL between representations: ``to_bytes`` and
+``estimate`` always evaluate over the materialized dense view, so the
+encoding and the float summation order are pure functions of content,
+preserving merge-order/resume byte-identity.
 
 Merge = elementwise max → commutative, associative, idempotent.
 """
@@ -26,6 +38,10 @@ from .hashing import bit_length_u64, to_u64
 
 _U64 = np.uint64
 
+# promote sparse → dense past m/4 occupied registers: beyond that the
+# dict overhead exceeds the dense bank it was avoiding
+_PROMOTE_DIV = 4
+
 
 def _alpha(m: int) -> float:
     """Bloom_project/src/core/HyperLogLog.cpp:69-77."""
@@ -40,20 +56,52 @@ def _alpha(m: int) -> float:
 
 @register("hll")
 class HLLSketch:
-    __slots__ = ("p", "m", "registers")
+    __slots__ = ("p", "m", "_dense", "_sparse")
 
     def __init__(self, p: int, registers: np.ndarray | None = None):
         if not 4 <= p <= 18:
             raise ValueError("p must be in [4, 18]")
         self.p = int(p)
         self.m = 1 << self.p
-        self.registers = (np.zeros(self.m, dtype=np.uint8)
-                          if registers is None else registers)
+        if registers is None:
+            self._dense: np.ndarray | None = None
+            self._sparse: dict | None = {}
+        else:
+            self._dense = registers
+            self._sparse = None
+
+    # -- representation ---------------------------------------------------
+
+    @property
+    def is_sparse(self) -> bool:
+        return self._dense is None
+
+    @property
+    def registers(self) -> np.ndarray:
+        """Dense register bank (materialized on demand when sparse)."""
+        if self._dense is not None:
+            return self._dense
+        return self._materialize()
+
+    def _materialize(self) -> np.ndarray:
+        regs = np.zeros(self.m, dtype=np.uint8)
+        if self._sparse:
+            n = len(self._sparse)
+            idx = np.fromiter(self._sparse.keys(), dtype=np.int64, count=n)
+            rho = np.fromiter(self._sparse.values(), dtype=np.uint8, count=n)
+            regs[idx] = rho
+        return regs
+
+    def _promote(self) -> None:
+        self._dense = self._materialize()
+        self._sparse = None
 
     @property
     def relative_error(self) -> float:
         """Published std error 1.04/√m."""
         return 1.04 / math.sqrt(self.m)
+
+    # -- updates / merge ---------------------------------------------------
 
     def update_hashes(self, h1) -> None:
         h = to_u64(np.asarray(h1))
@@ -63,25 +111,72 @@ class HLLSketch:
         w = h & ((_U64(1) << _U64(64 - self.p)) - _U64(1))   # low 64−p bits
         # rho = (#leading zeros in the 64−p bit word) + 1
         rho = ((64 - self.p) - bit_length_u64(w) + 1).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rho)
+        if self._dense is not None:
+            np.maximum.at(self._dense, idx, rho)
+            return
+        uniq, inv = np.unique(idx, return_inverse=True)
+        best = np.zeros(uniq.size, dtype=np.uint8)
+        np.maximum.at(best, inv, rho)
+        d = self._sparse
+        if not d and uniq.size * _PROMOTE_DIV > self.m:
+            # big first batch: skip the dict entirely
+            self._dense = np.zeros(self.m, dtype=np.uint8)
+            self._dense[uniq] = best
+            self._sparse = None
+            return
+        for i, r in zip(uniq.tolist(), best.tolist()):
+            if r > d.get(i, 0):
+                d[i] = r
+        if len(d) * _PROMOTE_DIV > self.m:
+            self._promote()
 
     def merge(self, other: "HLLSketch") -> "HLLSketch":
         assert self.p == other.p
+        if self._dense is None and other._dense is None:
+            a, b = self._sparse, other._sparse
+            if len(a) < len(b):
+                a, b = b, a
+            d = dict(a)
+            for i, r in b.items():
+                if r > d.get(i, 0):
+                    d[i] = r
+            out = HLLSketch(self.p)
+            out._sparse = d
+            if len(d) * _PROMOTE_DIV > self.m:
+                out._promote()
+            return out
         return HLLSketch(self.p, np.maximum(self.registers, other.registers))
 
+    # -- estimate / serialization -------------------------------------------
+
     def estimate(self) -> float:
-        """Estimator shape per HyperLogLog.cpp:27-50."""
-        regs = self.registers.astype(np.float64)
+        """Estimator shape per HyperLogLog.cpp:27-50.
+
+        Always evaluated over the dense view so the float summation
+        order — and hence the estimate — is bit-identical whether the
+        sketch lived sparse or dense."""
+        registers = self.registers
+        regs = registers.astype(np.float64)
         raw = _alpha(self.m) * self.m * self.m / np.power(2.0, -regs).sum()
         if raw <= 2.5 * self.m:
-            zeros = int((self.registers == 0).sum())
+            zeros = int((registers == 0).sum())
             if zeros > 0:
                 return self.m * math.log(self.m / zeros)
         return float(raw)
 
     @property
     def size_bytes(self) -> int:
-        return int(self.registers.nbytes)
+        """Dense (worst-case serialized) size — used for merge fan-in
+        sizing, which must bound on what a partial MAY grow to."""
+        return self.m
+
+    @property
+    def resident_bytes(self) -> int:
+        """Approximate in-memory footprint NOW (the sparse-start win)."""
+        if self._dense is not None:
+            return int(self._dense.nbytes)
+        # CPython dict entry ≈ 100 B (key int + value int + slot)
+        return 64 + 100 * len(self._sparse)
 
     def to_bytes(self) -> bytes:
         """Content-adaptive (HLL++-style sparse mode for the wire): a
@@ -89,13 +184,15 @@ class HLLSketch:
         (index:uint32, rho:uint8) pairs — the common case for grouped
         per-host partials where a group saw a handful of rows in a
         partition but the bank is 2^p bytes. Dense otherwise. Encoding
-        is a pure function of content → merge-order/resume byte-identity
-        hold; in-memory representation stays dense (merge = np.maximum)."""
-        nz = np.flatnonzero(self.registers)
+        is a pure function of content (evaluated over the dense view) →
+        merge-order/resume byte-identity hold regardless of in-memory
+        representation."""
+        regs = self.registers
+        nz = np.flatnonzero(regs)
         if nz.size * 5 < self.m:
             return pack("hll", {"p": self.p, "sparse": 1},
-                        nz.astype(np.uint32), self.registers[nz])
-        return pack("hll", {"p": self.p}, self.registers)
+                        nz.astype(np.uint32), regs[nz])
+        return pack("hll", {"p": self.p}, regs)
 
     @classmethod
     def _from_state(cls, params, bufs):

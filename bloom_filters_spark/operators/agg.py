@@ -113,14 +113,12 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
     multi-MB Bloom banks — the knob that keeps a 100k-partition build
     from shipping 100k × 28MB to one place.
 
-    Limitation: the bound assumes fixed-size merges (OR/max/add), where
-    a merged partial is no bigger than its inputs. For CONCAT-merge
-    sketches (CuckooBank: merge = member-list append) merged partials
-    grow with partition count, so the ~256MB bound holds only for the
-    first merge level; the total bank is P × seed_size regardless of
-    tree shape. For such sketches size the seed filter (or partition
-    count) so P × seed_size fits the driver, or prefer a true-monoid
-    sketch (Bloom/CBF/HLL/CMS) for very high partition counts.
+    For CONCAT-merge sketches (CuckooBank: merge = member-list append)
+    the bound holds because the bank AUTO-COMPACTS: past a small member
+    count, merge re-packs all (bucket, fingerprint) entries into as few
+    same-shaped members as the item count needs (kernels/cuckoo.py
+    ``compacted``), so merged partials are O(items seen), not
+    O(partitions × seed_size), at every tree level and on the driver.
     """
     if fanin is None:
         probe_size = max(1, factory().size_bytes)
@@ -306,6 +304,24 @@ def ibf_recover(df: DataFrame, col: str, ibf, *, seed: int = 0) -> DataFrame:
     return (hashed.join(F.broadcast(rec), hashed["__h"] == rec["key_hash"],
                         "inner")
             .drop("__h", "key_hash"))
+
+
+def quantiles_grouped(sketches_df: DataFrame, qs: tuple,
+                      out_col: str = "quantiles") -> DataFrame:
+    """Per-group quantile estimates from grouped value sketches
+    (KLL / t-digest payloads from ``build_grouped_sketches(...,
+    value_based=True)``) — e.g. per-language text-length percentiles.
+    One array<double> column, one entry per requested quantile; the
+    payloads are KB-sized summaries, so this is a map over G rows."""
+    qlist = [float(q) for q in qs]
+
+    @F.pandas_udf("array<double>")
+    def qf(payload: pd.Series) -> pd.Series:
+        return pd.Series([
+            [float(sketch_from_bytes(bytes(p)).quantile(q)) for q in qlist]
+            for p in payload])
+
+    return sketches_df.withColumn(out_col, qf(F.col("payload")))
 
 
 def estimate_grouped(sketches_df: DataFrame, estimator: str = "estimate",

@@ -2,13 +2,17 @@
 
 Images/audio/video ride as ``binary`` columns beside a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` operators. The decode step itself is STUBBED (this
-container has no image/audio codecs) behind ``decoder=`` hooks:
-pass a real decoder (e.g. PIL/ffmpeg-based) in production, or use
-``fake_image_decoder`` — a deterministic stand-in that exercises the
-full Spark plumbing (schema, batching, partition shape) and is what the
-tests drive. Every byte of the Spark-side path is real; only the codec
-is fake.
+``mapInPandas`` operators behind ``decoder=`` hooks.
+
+The DEFAULT decoder is a real, executable, pure-numpy codec for the
+binary Netpbm image formats (P5 grayscale / P6 RGB — the published
+portable-pixmap spec): header parse with comment handling, 8- and
+16-bit sample depths, normalized float output. ``synthetic_media``
+emits genuine P5 payloads, so the decode → feature / resize pipeline
+runs END TO END in-repo with no external codec libraries. Compressed
+formats (JPEG/PNG/audio/video) still go through the same hook — pass a
+PIL/ffmpeg-backed callable in production (``real_decoder_stub`` marks
+that slot); ``fake_image_decoder`` remains for plumbing-only tests.
 """
 
 from __future__ import annotations
@@ -27,11 +31,80 @@ FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, ok boolean"
 
 
 def real_decoder_stub(payload: bytes, meta) -> np.ndarray:
-    """Placeholder for a codec-backed decoder (PIL / libsndfile / ffmpeg).
-    Not available in this container."""
+    """Placeholder for a compressed-format decoder (PIL / libsndfile /
+    ffmpeg). Not available in this container — uncompressed Netpbm
+    payloads decode in-repo via ``netpbm_decode`` instead."""
     raise NotImplementedError(
-        "codec libraries are not installed in this environment; "
-        "inject a decoder or use fake_image_decoder for plumbing tests")
+        "compressed-codec libraries are not installed in this "
+        "environment; use netpbm payloads (netpbm_decode) or inject a "
+        "decoder")
+
+
+# --------------------------------------------------------------------------
+# real pure-numpy codec: binary Netpbm (P5 = grayscale, P6 = RGB)
+# --------------------------------------------------------------------------
+
+def pgm_encode(arr: np.ndarray) -> bytes:
+    """Encode a (h, w) uint8 array as a binary PGM (P5) image."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("pgm_encode expects a (h, w) grayscale array")
+    h, w = a.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def ppm_encode(arr: np.ndarray) -> bytes:
+    """Encode a (h, w, 3) uint8 array as a binary PPM (P6) image."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("ppm_encode expects a (h, w, 3) RGB array")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def _netpbm_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a binary Netpbm header → (magic, w, h, maxval, data_offset).
+    Handles arbitrary whitespace and ``#`` comment lines per the spec."""
+    magic = buf[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary Netpbm payload (magic {magic!r})")
+    pos, vals = 2, []
+    n = len(buf)
+    while len(vals) < 3:
+        while pos < n and buf[pos:pos + 1].isspace():
+            pos += 1
+        if pos < n and buf[pos:pos + 1] == b"#":
+            while pos < n and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not buf[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated Netpbm header")
+        vals.append(int(buf[start:pos]))
+    pos += 1        # exactly one whitespace byte separates header and raster
+    w, h, maxval = vals
+    if not (w > 0 and h > 0 and 0 < maxval < 65536):
+        raise ValueError(f"bad Netpbm dimensions {w}x{h} maxval={maxval}")
+    return magic, w, h, maxval, pos
+
+
+def netpbm_decode(payload: bytes, meta=None) -> np.ndarray:
+    """Real decode: binary PGM/PPM bytes → float32 array in [0, 1].
+
+    P5 → (h, w); P6 → (h, w, 3). maxval > 255 means big-endian 16-bit
+    samples per the spec. Pure numpy — executable in this container."""
+    buf = bytes(payload)
+    magic, w, h, maxval, off = _netpbm_header(buf)
+    channels = 1 if magic == b"P5" else 3
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    count = w * h * channels
+    if len(buf) - off < count * dtype.itemsize:
+        raise ValueError("truncated Netpbm raster")
+    raster = np.frombuffer(buf, dtype=dtype, count=count, offset=off)
+    arr = raster.astype(np.float32) / np.float32(maxval)
+    return arr.reshape((h, w) if channels == 1 else (h, w, channels))
 
 
 def fake_image_decoder(payload: bytes, meta) -> np.ndarray:
@@ -48,12 +121,15 @@ def fake_image_decoder(payload: bytes, meta) -> np.ndarray:
 
 
 def synthetic_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
-    """Deterministic media fixture: payload bytes derived from the id."""
+    """Deterministic media fixture: REAL binary PGM (P5) images whose
+    16×16 pixel content derives from the id — the decode path downstream
+    exercises a genuine image format, not opaque bytes."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy()
-            payloads = [bytes(((np.arange(256) * (i + 1)) % 251)
-                              .astype(np.uint8)) for i in ids]
+            payloads = [pgm_encode(((np.arange(256) * (i + 1)) % 251)
+                                   .astype(np.uint8).reshape(16, 16))
+                        for i in ids]
             metas = [{"width": 16, "height": 16, "n_frames": 1,
                       "sample_rate": 0} for _ in ids]
             yield pd.DataFrame({"media_id": ids, "kind": kind,
@@ -62,11 +138,14 @@ def synthetic_media(spark, n: int = 100, kind: str = "image") -> DataFrame:
 
 
 def extract_features(df: DataFrame,
-                     decoder: Callable = fake_image_decoder,
+                     decoder: Callable = netpbm_decode,
                      n_features: int = 16) -> DataFrame:
     """Decode + pooled feature extraction per media row (Arrow batches).
     Output feature = per-stripe means of the decoded array — the shape a
-    real embedding/feature UDF has; swap ``decoder`` for a real codec."""
+    real embedding/feature UDF has. Defaults to the in-repo Netpbm
+    codec; swap ``decoder`` for a compressed-format codec in production.
+    Corrupt/undecodable rows flag ``ok=false`` instead of failing the
+    task — at lake scale a handful of bad payloads must not kill a job."""
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_feat, ok = [], []
@@ -76,7 +155,7 @@ def extract_features(df: DataFrame,
                     stripes = np.array_split(arr.ravel(), n_features)
                     out_feat.append([float(s.mean()) for s in stripes])
                     ok.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     out_feat.append([0.0] * n_features)
                     ok.append(False)
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -86,9 +165,10 @@ def extract_features(df: DataFrame,
 
 
 def resize_images(df: DataFrame, width: int, height: int,
-                  decoder: Callable = fake_image_decoder) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode as raw float bytes.
-    Plumbing-real; codec-fake by default."""
+                  decoder: Callable = netpbm_decode) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (PGM for grayscale,
+    PPM for RGB), so resized payloads stay decodable by the same codec
+    and the pipeline composes end to end."""
     def rez(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
@@ -97,7 +177,9 @@ def resize_images(df: DataFrame, width: int, height: int,
                 yi = (np.linspace(0, arr.shape[0] - 1, height)).astype(int)
                 xi = (np.linspace(0, arr.shape[1] - 1, width)).astype(int)
                 out = arr[np.ix_(yi, xi)]
-                payloads.append(out.astype(np.float32).tobytes())
+                quant = np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+                payloads.append(ppm_encode(quant) if quant.ndim == 3
+                                else pgm_encode(quant))
                 metas.append({"width": width, "height": height,
                               "n_frames": 1, "sample_rate": 0})
             yield pd.DataFrame({"media_id": pdf["media_id"],

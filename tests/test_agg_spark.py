@@ -117,6 +117,29 @@ def test_grouped_hll_per_event_type(spark, events):
         assert abs(est[k] - v) / v <= 0.1, (k, est[k], v)
 
 
+def test_grouped_build_scales_to_a_million_groups(spark):
+    # the sparse-start guarantee, end to end: each map task sees ~31k
+    # distinct groups; dense banks would be ~31k × 4 KB = 128 MB per
+    # task (×32 tasks concurrently); sparse dicts hold a few counters
+    # per group. 1M groups × 2 rows, grouped HLL build completes and
+    # every group's estimate is (near-)exact at cardinality 2.
+    G = 1_000_000
+    df = spark.range(0, 2 * G).select(
+        (F.col("id") % G).alias("g"), F.col("id").alias("v"))
+    grouped = build_grouped_sketches(df, "v", lambda: HLLSketch(12), ["g"])
+    est = estimate_grouped(grouped)
+    row = est.agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("estimate").alias("avg"),
+                  F.min("estimate").alias("lo"),
+                  F.max("estimate").alias("hi"),
+                  F.sum("n_rows").alias("rows")).collect()[0]
+    assert row["n"] == G and row["rows"] == 2 * G
+    # at n=2 the estimator is linear counting — near-exact, except the
+    # ~G·2/m groups whose two hashes collide into one register (≈1.0)
+    assert 0.99 < row["lo"] and row["hi"] < 2.01
+    assert abs(row["avg"] - 2.0) < 0.01
+
+
 def test_grouped_with_salted_merge(spark, events):
     grouped = build_grouped_sketches(events, "user_id",
                                      lambda: HLLSketch(12), ["event_type"],

@@ -139,6 +139,56 @@ def test_hll_merge_max_and_order_invariance():
     assert a.estimate() == b.estimate()
 
 
+@pytest.mark.parametrize("n", [0, 1, 5, 400, 1100, 20_000])
+def test_hll_sparse_vs_dense_byte_identical(n):
+    # every observable output must be bit-identical whether the sketch
+    # lived sparse (fresh start) or dense (pre-allocated bank), below
+    # and above the promote threshold (m/4 = 1024 at p=12)
+    h = rand_hashes(n, seed=n + 1)
+    sparse = HLLSketch(12)                       # sparse start
+    dense = HLLSketch(12, np.zeros(1 << 12, dtype=np.uint8))
+    for chunk in np.array_split(h, 7) if n else []:
+        sparse.update_hashes(chunk)
+        dense.update_hashes(chunk)
+    assert sparse.to_bytes() == dense.to_bytes()
+    assert sparse.estimate() == dense.estimate()
+    assert (sparse.registers == dense.registers).all()
+
+
+def test_hll_sparse_dense_mixed_merges_identical():
+    ha, hb = rand_hashes(300, seed=1), rand_hashes(9000, seed=2)
+    sa, sb = HLLSketch(12), HLLSketch(12)        # sa stays sparse,
+    sa.update_hashes(ha)                         # sb promotes to dense
+    sb.update_hashes(hb)
+    assert sa.is_sparse and not sb.is_sparse
+    da = HLLSketch(12, np.zeros(1 << 12, dtype=np.uint8))
+    da.update_hashes(ha)
+    # all four direction/representation combinations agree bytewise
+    blobs = {sa.merge(sb).to_bytes(), sb.merge(sa).to_bytes(),
+             da.merge(sb).to_bytes(), sb.merge(da).to_bytes()}
+    assert len(blobs) == 1
+    # sparse+sparse merge stays sparse while small
+    s2 = HLLSketch(12)
+    s2.update_hashes(rand_hashes(50, seed=3))
+    assert sa.merge(s2).is_sparse
+
+
+def test_hll_sparse_start_memory_is_data_proportional():
+    # the grouped map-side scenario: G sketches, a couple of rows each.
+    # Resident bytes must track rows seen, not G × dense bank size.
+    G = 100_000
+    h = rand_hashes(2 * G, seed=9).reshape(G, 2)
+    sketches = [HLLSketch(12) for _ in range(G)]
+    for sk, row in zip(sketches, h):
+        sk.update_hashes(row)
+    resident = sum(sk.resident_bytes for sk in sketches)
+    dense_total = G * (1 << 12)
+    assert resident < dense_total / 10, (resident, dense_total)
+    assert all(sk.is_sparse for sk in sketches)
+    # and the estimates are still exact at tiny cardinality
+    assert all(abs(sk.estimate() - 2.0) < 0.01 for sk in sketches[:100])
+
+
 def test_hll_duplicates_dont_inflate():
     h = rand_hashes(1000, seed=8)
     hll = HLLSketch(12)
@@ -289,6 +339,55 @@ def test_cuckoo_bank_auto_grows_past_member_capacity():
     # serde round-trip preserves all members
     bank2 = sketch_from_bytes(bank.to_bytes())
     assert bank2.contains_hashes(keys).all()
+
+
+def test_cuckoo_bank_compacts_to_item_proportional_size():
+    """VERDICT r3 item 6: a high-partition-count build must yield a bank
+    sized O(n items), not O(P × seed_size). 64 sparse partials (100 keys
+    each in a 4096-capacity seed) tree-merge into a couple of members."""
+    seed_cap = 4096
+    partials, all_keys = [], []
+    for p in range(64):
+        keys = rand_hashes(100, seed=100 + p)
+        all_keys.append(keys)
+        bank = CuckooBank.wrap(CuckooFilter(capacity=seed_cap))
+        bank.update_hashes(keys)
+        partials.append(bank)
+    merged = partials[0]
+    for b in partials[1:]:
+        merged = merged.merge(b)
+    keys = np.concatenate(all_keys)             # 6400 items
+    # no false negatives survive compaction
+    assert merged.contains_hashes(keys).all()
+    # 6400 items fit ~1-2 members; concat would have kept all 64
+    assert len(merged.members) <= 3
+    assert sum(m.n_items for m in merged.members) == keys.size
+    one = CuckooFilter(capacity=seed_cap)
+    assert merged.size_bytes <= 3 * one.size_bytes
+    # fp rate unchanged-or-better vs the fragmented bank (fewer probes)
+    absent = rand_hashes(50_000, seed=999)
+    assert merged.contains_hashes(absent).mean() < 0.02
+    # serde round-trip
+    back = sketch_from_bytes(merged.to_bytes())
+    assert back.contains_hashes(keys).all()
+
+
+def test_cuckoo_bank_compaction_is_probe_equivalent_any_order():
+    hs = [rand_hashes(500, seed=30 + i) for i in range(10)]
+    banks = []
+    for h in hs:
+        b = CuckooBank.wrap(CuckooFilter(capacity=512))
+        b.update_hashes(h)
+        banks.append(b)
+    left = banks[0]
+    for b in banks[1:]:
+        left = left.merge(b)
+    right = banks[-1]
+    for b in reversed(banks[:-1]):
+        right = right.merge(b)
+    keys = np.concatenate(hs)
+    assert left.contains_hashes(keys).all()
+    assert right.contains_hashes(keys).all()
 
 
 def test_cuckoo_bank_requires_seed():
