@@ -773,7 +773,11 @@ def q_lsh_bucket_caps(spark, sf_dir):
 def q_checkpoint_resume(spark, sf_dir):
     """north_rule resume: kill after 5/16 shards → resume → final sketch
     byte-identical to an uninterrupted build (content-addressed shards
-    + latest-attempt-wins lineage)."""
+    + latest-attempt-wins lineage). The same cycle then runs through a
+    LIVE DataFrameWriterV2 catalog table (Spark's built-in
+    JDBCTableCatalog over embedded Derby — the writeTo().append()
+    branch the Iceberg backend uses; no Iceberg jars in the sandbox),
+    so catalog_byte_identical certifies the V2 write path end-to-end."""
     import tempfile
     ev = _t(spark, sf_dir, "events")
     with tempfile.TemporaryDirectory() as td:
@@ -785,10 +789,38 @@ def q_checkpoint_resume(spark, sf_dir):
             pass
         sk, n, lineage = cp.resume(ev, "user_id", factory, "h")
         direct, n2 = build_sketch(ev, "user_id", factory)
+
+        # catalog backend: one Derby db per Spark application (embedded
+        # Derby is single-JVM; the app id keeps concurrent sessions
+        # apart, and re-runs within a session are idempotent because
+        # latest-attempt-wins). Derby cannot compare CLOB in pushed
+        # predicates → filters evaluate Spark-side for this catalog.
+        app = spark.sparkContext.applicationId
+        for k, v in {
+            "spark.sql.catalog.bfsq":
+                "org.apache.spark.sql.execution.datasources.v2.jdbc."
+                "JDBCTableCatalog",
+            "spark.sql.catalog.bfsq.url":
+                f"jdbc:derby:/tmp/bfs_cat_{app};create=true",
+            "spark.sql.catalog.bfsq.driver":
+                "org.apache.derby.jdbc.EmbeddedDriver",
+            "spark.sql.catalog.bfsq.pushDownPredicate": "false",
+        }.items():
+            if spark.conf.get(k, None) is None:
+                spark.conf.set(k, v)
+        ck = SketchCheckpoint(spark, f"{td}/unused", n_shards=8,
+                              catalog_table="bfsq.lineage_q")
+        try:
+            ck.build(ev, "user_id", factory, "hq", fail_after_shards=3)
+        except RuntimeError:
+            pass
+        sk_c, _, _ = ck.resume(ev, "user_id", factory, "hq")
         return spark.createDataFrame(
             [(sk.to_bytes() == direct.to_bytes(), int(n),
-              len(lineage["recomputed_shards"]))],
-            "byte_identical boolean, n_rows long, recomputed_shards long")
+              len(lineage["recomputed_shards"]),
+              sk_c.to_bytes() == direct.to_bytes())],
+            "byte_identical boolean, n_rows long, "
+            "recomputed_shards long, catalog_byte_identical boolean")
 
 
 def q_pages_invariant(spark, sf_dir):
@@ -1530,7 +1562,8 @@ def oracle_sql() -> dict[str, str]:
         "checkpoint_resume":
             "SELECT TRUE AS byte_identical, "
             "(SELECT COUNT(*) FROM events) AS n_rows, "
-            "CAST(11 AS BIGINT) AS recomputed_shards",
+            "CAST(11 AS BIGINT) AS recomputed_shards, "
+            "TRUE AS catalog_byte_identical",
         "pages_invariant":
             "SELECT CAST(0 AS BIGINT) AS mismatches, "
             "CAST(2000 AS BIGINT) AS n_rows",

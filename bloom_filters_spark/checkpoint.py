@@ -61,6 +61,23 @@ ICEBERG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
 _ICEBERG_TO_SPARK = {"string": "string", "int": "int", "long": "bigint",
                      "timestamp": "timestamp", "binary": "binary"}
 
+# Catalog-agnostic form of the same table: any DataSourceV2 catalog
+# (Iceberg on a cluster; Spark's built-in JDBCTableCatalog over embedded
+# Derby in the sandbox — tests/test_checkpoint_streaming
+# test_catalog_table_kill_resume runs the LIVE writeTo().append() +
+# read-back + resume through it). The write branch is therefore
+# executed in-repo, not just schema-contract-checked; swapping to
+# Iceberg is exactly one catalog config.
+CATALOG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
+  sketch_id  string,
+  shard      int,
+  attempt    long,
+  n_rows     long,
+  source     string,
+  created_ts timestamp,
+  payload    binary
+)"""
+
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True when the Iceberg Spark runtime jars are on the classpath
@@ -118,12 +135,17 @@ class SketchCheckpoint:
 
     def __init__(self, spark: SparkSession, checkpoint_dir: str,
                  n_shards: int = 64, seed: int = 0,
-                 iceberg_table: str | None = None):
+                 iceberg_table: str | None = None,
+                 catalog_table: str | None = None):
         self.spark = spark
         self.dir = checkpoint_dir
         self.n_shards = int(n_shards)
         self.seed = int(seed)
         self.iceberg_table = iceberg_table
+        # ``catalog_table``: any DataSourceV2 catalog table (e.g. Spark's
+        # JDBCTableCatalog over Derby); same append-only writeTo() branch
+        # as Iceberg, no Iceberg runtime required.
+        self.catalog_table = catalog_table
         if iceberg_table is not None:
             if not iceberg_available(spark):
                 raise RuntimeError(
@@ -131,16 +153,22 @@ class SketchCheckpoint:
                     "classpath (add --packages org.apache.iceberg:"
                     "iceberg-spark-runtime-...)")
             spark.sql(ICEBERG_DDL.format(table=iceberg_table))
+        elif catalog_table is not None:
+            spark.sql(CATALOG_DDL.format(table=catalog_table))
+
+    @property
+    def _v2_table(self) -> str | None:
+        return self.iceberg_table or self.catalog_table
 
     def _append(self, df: DataFrame) -> None:
-        if self.iceberg_table is not None:
-            df.writeTo(self.iceberg_table).append()
+        if self._v2_table is not None:
+            df.writeTo(self._v2_table).append()
         else:
             df.write.mode("append").parquet(self.dir)
 
     def _table(self) -> DataFrame | None:
-        if self.iceberg_table is not None:
-            t = self.spark.read.table(self.iceberg_table)
+        if self._v2_table is not None:
+            t = self.spark.read.table(self._v2_table)
             return t if t.limit(1).count() else None
         if not os.path.isdir(self.dir):
             return None
