@@ -61,3 +61,33 @@ def test_users_fixture(spark):
     row = u.where("id = 29").first()
     assert row["name"] == "User29"     # the reference's probe key (:3871)
     assert row["phone"] == "+12345678929"
+
+
+def test_synth_tier_determinism_and_structure(spark):
+    """sources/synth.py: every tier table is a pure function of row ids
+    (partitioning-independent), documents carry exact + near dups, and
+    embeddings are unit-norm with cluster structure."""
+    from bloom_filters_spark.sources import synth
+
+    a = (synth.generate_documents(spark, 400, partitions=1)
+         .orderBy("doc_id").collect())
+    b = (synth.generate_documents(spark, 400, partitions=7)
+         .orderBy("doc_id").collect())
+    assert a == b
+    li = (synth.generate_lineitem(spark, 1000, partitions=3)
+          .orderBy("l_orderkey", "l_linenumber").collect())
+    li2 = (synth.generate_lineitem(spark, 1000, partitions=5)
+           .orderBy("l_orderkey", "l_linenumber").collect())
+    assert li == li2
+    assert len({r["l_orderkey"] for r in li}) == 250   # 4 lines/order
+
+    docs = synth.generate_documents(spark, 4000).cache()
+    n, nd = docs.count(), docs.select("text").distinct().count()
+    assert nd < n                                      # exact dups exist
+    docs.unpersist()
+
+    emb = synth.generate_embeddings(spark, 200).collect()
+    for r in emb[:20]:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+        assert 0 <= r["label"] < synth.N_CLUSTERS
