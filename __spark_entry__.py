@@ -412,8 +412,25 @@ def q_ibf_reconcile(spark, sf_dir):
     right = orders.where("o_orderkey % 89 != 0").select("o_orderkey")
     # capacity sized for sf0.1's ~3.2k-key diff too (sketch cost is
     # O(capacity) — 16 shards × 24 KB — so headroom is nearly free)
-    return rc.reconcile_keys(left, right, "o_orderkey",
+    keys = rc.reconcile_keys(left, right, "o_orderkey",
                              diff_capacity=8192, n_shards=16)
+    # version-aware diff (reconcile_rows): same replicas carrying
+    # o_totalprice, with the price bumped on a third key set — those
+    # keys exist on BOTH sides with diverged values and must classify
+    # as 'changed' (keys-only reconciliation cannot see them at all)
+    left2 = orders.where("o_orderkey % 97 != 0").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 5,
+               F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"))
+    right2 = orders.where("o_orderkey % 89 != 0").select(
+        "o_orderkey", "o_totalprice")
+    rows = rc.reconcile_rows(left2, right2, "o_orderkey",
+                             ["o_totalprice"], diff_capacity=8192,
+                             n_shards=16)
+    return keys.unionByName(rows.select(
+        "o_orderkey",
+        F.concat(F.lit("rows_"), F.col("status")).alias("side")))
 
 
 def q_quantile_bounds(spark, sf_dir):
@@ -1506,7 +1523,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0 "
             "UNION ALL "
             "SELECT o_orderkey, 'right_only' AS side FROM orders "
-            "WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 = 0",
+            "WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'rows_left_only' AS side FROM orders "
+            "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'rows_right_only' AS side FROM orders "
+            "WHERE o_orderkey % 89 <> 0 AND o_orderkey % 97 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey, 'rows_changed' AS side FROM orders "
+            "WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0 "
+            "AND o_orderkey % 101 = 5",
         "quantile_bounds":
             "SELECT lang, TRUE AS grouped_ok, "
             "CAST(6 AS BIGINT) AS kll_n_quantiles, TRUE AS kll_ok, "

@@ -217,3 +217,67 @@ def reconcile_keys(left: DataFrame, right: DataFrame, col: str, *,
 
     return recover(left, 1, "left_only").unionByName(
         recover(right, -1, "right_only"))
+
+
+def reconcile_rows(left: DataFrame, right: DataFrame, key_col: str,
+                   value_cols: list[str], *, diff_capacity: int = 4096,
+                   n_shards: int = 32, k: int = 3, overhead: float = 2.0,
+                   seed: int = 0, strict: bool = True) -> DataFrame:
+    """→ DataFrame(key_col, status): version-aware table diff,
+    ``status`` ∈ {'left_only', 'right_only', 'changed'}.
+
+    ``reconcile_keys`` sees only key presence; replicas that hold the
+    same keys with DIVERGED values look identical to it. This variant
+    sketches the full ROW identity — ``xxhash64(key, value_cols...)``
+    computed JVM-side — so an updated key contributes two diff items
+    (its old row hash right-only, its new row hash left-only) and is
+    classified ``changed`` when both sides recover it. Everything else
+    is inherited: one scan per side, O(d) sketch bytes on the wire
+    (``diff_capacity`` must bound keys-added + keys-removed +
+    2 × keys-changed), loud failure on undecoded shards, recovery via
+    broadcast semi joins (the recovered-hash set is ≤ d rows).
+
+    Value comparison is by hash, i.e. exact up to xxhash64 collisions
+    (~2⁻⁶⁴ per differing pair) — the standard row-checksum contract of
+    table-diff tools."""
+    rh = F.xxhash64(F.col(key_col),
+                    *[F.col(c) for c in value_cols], F.lit(seed))
+
+    cells = max(64, math.ceil(overhead * diff_capacity / n_shards))
+    lsh = build_ibf_shards(left.select(rh.alias("__row")), "__row",
+                           n_shards, cells, k=k, seed=seed)
+    rsh = build_ibf_shards(right.select(rh.alias("__row")), "__row",
+                           n_shards, cells, k=k, seed=seed)
+    rows = ibf_diff_shards(lsh, rsh).collect()
+    if strict and any(not r["decoded"] for r in rows):
+        raise ValueError(
+            "reconcile_rows: some shards did not decode — the real "
+            f"difference exceeds diff_capacity={diff_capacity} "
+            "(note a changed key counts twice; raise the bound, "
+            "overhead, or n_shards)")
+    spark = left.sparkSession
+    wanted = spark.createDataFrame(
+        [(int(r["key_hash"]), int(r["sign"])) for r in rows
+         if r["key_hash"] is not None],
+        "key_hash long, sign int")
+
+    def hits(src: DataFrame, sign: int, out: str) -> DataFrame:
+        # __row is hashed through hash_col again inside
+        # build_ibf_shards, so the recovery join must apply the same
+        # composition to match the peeled hashes
+        return (src.select(F.col(key_col),
+                           hash_col(rh, seed).alias("__h"))
+                .join(F.broadcast(wanted.where(F.col("sign") == sign)
+                                  .select("key_hash")),
+                      F.col("__h") == F.col("key_hash"), "left_semi")
+                .select(F.col(key_col).alias(out)))
+
+    lk = hits(left, 1, "__lk")       # new-version keys (changed ∪ added)
+    rk = hits(right, -1, "__rk")     # old-version keys (changed ∪ removed)
+    joined = lk.join(rk, lk["__lk"] == rk["__rk"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("__lk"), F.col("__rk")).alias(key_col),
+        F.when(F.col("__lk").isNotNull() & F.col("__rk").isNotNull(),
+               F.lit("changed"))
+        .when(F.col("__lk").isNotNull(), F.lit("left_only"))
+        .otherwise(F.lit("right_only")).alias("status"))

@@ -105,3 +105,58 @@ def test_salted_merge_level_byte_identical(spark):
               rc.build_ibf_shards(src, "k", 8, 256,
                                   merge_salts=4).collect()}
     assert flat == salted
+
+
+def test_reconcile_rows_classifies_changed(spark):
+    """Version-aware diff: removed / added / value-changed keys are
+    classified exactly, verified against a full-outer-join oracle."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7 % 1000).alias("v1"),
+        F.concat(F.lit("p"), (F.col("id") % 50).cast("string")).alias("v2"))
+    # left = base minus keys %997==0, plus keys 20000..20049,
+    #        with v1 bumped where k % 463 == 1 (the "changed" set)
+    left = (base.where("k % 997 != 0")
+            .withColumn("v1", F.when(F.col("k") % 463 == 1,
+                                     F.col("v1") + 1).otherwise(F.col("v1")))
+            .unionByName(spark.range(20_000, 20_050).select(
+                F.col("id").alias("k"), F.lit(1).alias("v1"),
+                F.lit("new").alias("v2"))))
+    right = base
+
+    got = {(r["k"], r["status"]) for r in rc.reconcile_rows(
+        left, right, "k", ["v1", "v2"], diff_capacity=512,
+        n_shards=16).collect()}
+
+    # oracle: set algebra on collected rows
+    lrows = {r["k"]: (r["v1"], r["v2"]) for r in left.collect()}
+    rrows = {r["k"]: (r["v1"], r["v2"]) for r in right.collect()}
+    want = set()
+    for k in lrows.keys() - rrows.keys():
+        want.add((k, "left_only"))
+    for k in rrows.keys() - lrows.keys():
+        want.add((k, "right_only"))
+    for k in lrows.keys() & rrows.keys():
+        if lrows[k] != rrows[k]:
+            want.add((k, "changed"))
+    assert got == want
+    assert any(s == "changed" for _, s in want)      # the case exists
+    assert any(s == "left_only" for _, s in want)
+    assert any(s == "right_only" for _, s in want)
+
+
+def test_reconcile_rows_identical_tables_empty(spark):
+    df = _keyed(spark, 0, 5000).withColumn("v", F.col("k") % 7)
+    assert rc.reconcile_rows(df, df, "k", ["v"],
+                             diff_capacity=64, n_shards=4).count() == 0
+
+
+def test_reconcile_rows_undersized_raises(spark):
+    left = _keyed(spark, 0, 6000).withColumn("v", F.lit(0))
+    right = _keyed(spark, 3000, 9000).withColumn("v", F.lit(0))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="exceeds diff_capacity"):
+        rc.reconcile_rows(left, right, "k", ["v"], diff_capacity=32,
+                          n_shards=4)
