@@ -38,7 +38,8 @@ from .kernels import sketch_from_bytes
 from .operators.agg import hash_col
 
 _LINEAGE_SCHEMA = ("sketch_id string, shard int, attempt long, n_rows long, "
-                   "source string, created_ts timestamp, payload binary")
+                   "source string, created_ts timestamp, "
+                   "build_ms long, n_bytes long, payload binary")
 
 # The documented Iceberg DDL this lineage table maps onto 1:1 — the
 # production form of the checkpoint store (every type below is the
@@ -54,6 +55,8 @@ ICEBERG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
   n_rows     long,
   source     string,
   created_ts timestamp,
+  build_ms   long,
+  n_bytes    long,
   payload    binary
 ) USING iceberg PARTITIONED BY (shard)"""
 
@@ -75,6 +78,8 @@ CATALOG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
   n_rows     long,
   source     string,
   created_ts timestamp,
+  build_ms   long,
+  n_bytes    long,
   payload    binary
 )"""
 
@@ -110,17 +115,23 @@ def _build_shard_partials(df: DataFrame, col: str, factory: Callable,
     now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
         sk = factory()
         if value_based:
             sk.update_values(pdf["__v"].to_numpy(dtype=np.float64,
                                                  na_value=np.nan))
         else:
             sk.update_hashes(pdf["__v"].to_numpy(dtype=np.int64, na_value=0))
+        payload = sk.to_bytes()
+        # per-shard metrics ride the lineage row (north_rule "lineage +
+        # metrics"): build wall ms + sketch bytes — the two numbers a
+        # straggler/size dashboard needs per unit of resumable work
         return pd.DataFrame({
             "sketch_id": [sketch_id], "shard": [int(key[0])],
             "attempt": [attempt], "n_rows": [len(pdf)],
             "source": [source], "created_ts": [now],
-            "payload": [sk.to_bytes()]})
+            "build_ms": [int((time.time() - t0) * 1000)],
+            "n_bytes": [len(payload)], "payload": [payload]})
 
     return sel.groupBy("shard").applyInPandas(build, schema=_LINEAGE_SCHEMA)
 
@@ -191,8 +202,9 @@ class SketchCheckpoint:
         empty = sorted(requested - written)
         if empty:
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            zero = bytearray(factory().to_bytes())
             rows = [(sketch_id, int(s), attempt, 0, source, now,
-                     bytearray(factory().to_bytes())) for s in empty]
+                     0, len(zero), zero) for s in empty]
             self._append(self.spark.createDataFrame(rows, _LINEAGE_SCHEMA))
 
     def build(self, df: DataFrame, col: str, factory: Callable,

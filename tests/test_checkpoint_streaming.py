@@ -21,6 +21,13 @@ def test_checkpoint_build_equals_direct(spark, sf_dir, tmp_path):
     assert n == n2
     assert sk.to_bytes() == direct.to_bytes()     # byte-identical
     assert lineage["recomputed_shards"] == []
+    # north_rule "lineage + metrics": every shard row carries its build
+    # wall time and payload size, and n_bytes is exact
+    rows = spark.read.parquet(str(tmp_path / "cp1")).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["build_ms"] >= 0
+        assert r["n_bytes"] == len(r["payload"])
 
 
 def test_kill_and_resume_byte_identical(spark, sf_dir, tmp_path):
