@@ -484,9 +484,12 @@ def q_quantile_bounds(spark, sf_dir):
         ((F.abs(F.col("r50") - 0.5) <= 0.04 + 1.0 / F.col("n_g")) &
          (F.abs(F.col("r90") - 0.9) <= 0.04 + 1.0 / F.col("n_g")))
         .alias("grouped_ok"))
-    out = per_lang.crossJoin(glob)
+    # materialize the per-lang rows while the docs cache is alive — the
+    # harness evaluates the returned DataFrame after this function (and
+    # its unpersist) has run
+    rows = per_lang.collect()
     docs.unpersist()
-    return out
+    return spark.createDataFrame(rows, per_lang.schema).crossJoin(glob)
 
 
 def q_counting_bloom_delete(spark, sf_dir):
@@ -810,9 +813,18 @@ def q_checkpoint_resume(spark, sf_dir):
         # catalog backend: one Derby db per Spark application (embedded
         # Derby is single-JVM; the app id keeps concurrent sessions
         # apart, and re-runs within a session are idempotent because
-        # latest-attempt-wins). Derby cannot compare CLOB in pushed
-        # predicates → filters evaluate Spark-side for this catalog.
+        # latest-attempt-wins). The db must outlive this query's
+        # tempdir — the catalog conf is session-lived and bench re-runs
+        # the query — so it sits under /tmp with an atexit cleanup
+        # instead of accumulating one directory per run. Derby cannot
+        # compare CLOB in pushed predicates → filters evaluate
+        # Spark-side for this catalog.
         app = spark.sparkContext.applicationId
+        if spark.conf.get("spark.sql.catalog.bfsq.url", None) is None:
+            import atexit
+            import shutil
+            atexit.register(shutil.rmtree, f"/tmp/bfs_cat_{app}",
+                            ignore_errors=True)
         for k, v in {
             "spark.sql.catalog.bfsq":
                 "org.apache.spark.sql.execution.datasources.v2.jdbc."

@@ -440,6 +440,10 @@ def main() -> None:
         "n_pages": N_PAGES,
         "cores": cores,
     }
+    if "last_wall_ratio" in _PRUNE_CACHE:
+        # full-scan / pruned-lookup wall ratio (page-cache-bounded on
+        # this box; the structural factor is the scan_prune result)
+        out["scan_prune_wall_ratio"] = _PRUNE_CACHE["last_wall_ratio"]
     # surface the spark-submit scaling evidence (scripts/bench_scaling.py)
     # so round-over-round regressions are visible in one json line
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -185,12 +185,19 @@ class CuckooBank:
     memory bound like the true-monoid sketches.
     """
 
-    __slots__ = ("members",)
+    __slots__ = ("members", "_packed_len")
 
     _COMPACT_AT = 8          # concat up to this many members, then re-pack
 
     def __init__(self, members: list[CuckooFilter] | None = None):
         self.members = members or []
+        # member count after the last compaction: once a bank genuinely
+        # needs >= _COMPACT_AT members, re-packing on EVERY merge would
+        # make a sequential fold O(steps x total items); instead the
+        # next compaction waits until the bank doubles past this mark
+        # (geometric amortization -> O(total items) re-insert work per
+        # fold, while the bank stays within 2x of optimally packed)
+        self._packed_len = 0
 
     @classmethod
     def wrap(cls, cf: CuckooFilter) -> "CuckooBank":
@@ -227,8 +234,10 @@ class CuckooBank:
 
     def merge(self, other: "CuckooBank") -> "CuckooBank":
         merged = CuckooBank(self.members + other.members)
-        if len(merged.members) >= self._COMPACT_AT:
+        floor = max(self._packed_len, other._packed_len)
+        if len(merged.members) >= max(self._COMPACT_AT, 2 * floor):
             return merged.compacted()
+        merged._packed_len = floor
         return merged
 
     def compacted(self) -> "CuckooBank":
@@ -259,7 +268,9 @@ class CuckooBank:
                         cur._insert_one(hb, hfp)
                         packed.append(cur)
             out.extend(p for p in packed if p.n_items > 0)
-        return CuckooBank(out or self.members[:1])
+        bank = CuckooBank(out or self.members[:1])
+        bank._packed_len = len(bank.members)
+        return bank
 
     @property
     def size_bytes(self) -> int:

@@ -239,9 +239,17 @@ def reconcile_rows(left: DataFrame, right: DataFrame, key_col: str,
 
     Value comparison is by hash, i.e. exact up to xxhash64 collisions
     (~2⁻⁶⁴ per differing pair) — the standard row-checksum contract of
-    table-diff tools."""
-    rh = F.xxhash64(F.col(key_col),
-                    *[F.col(c) for c in value_cols], F.lit(seed))
+    table-diff tools. Spark's xxhash64 SKIPS null children (a NULL
+    input leaves the running hash untouched), so a bare
+    ``xxhash64(key, v1, v2)`` would hash ``(42, NULL)`` and
+    ``(NULL, 42)`` identically and miss column-shift corruption; each
+    value column therefore contributes an explicit is-null flag ahead
+    of its value, making the fold null-discriminating."""
+    rh = F.xxhash64(
+        F.col(key_col),
+        *[e for c in value_cols
+          for e in (F.isnull(F.col(c)).cast("int"), F.col(c))],
+        F.lit(seed))
 
     cells = max(64, math.ceil(overhead * diff_capacity / n_shards))
     lsh = build_ibf_shards(left.select(rh.alias("__row")), "__row",

@@ -116,11 +116,20 @@ def _index_over(df: DataFrame, key_col: str, fpp: float,
     def build_row(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = BloomSketch.from_capacity(max(len(pdf), 1), fpp)
         sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64))
+        # Spark's total order puts NaN ABOVE every double and NaN = NaN
+        # matches in joins, so a float NaN key is a real, matchable
+        # value — but Arrow maps a pandas float NaN back to SQL NULL on
+        # the return trip. A file holding NaN keys therefore reports
+        # max_key = NaN (skipna=False), which lands in the index as
+        # NULL; the zone predicates read a NULL bound as "this file
+        # contains NaN" and keep the file (the Bloom sieve still
+        # applies — NaN's xxhash64 is a normal hash). min keeps pandas'
+        # skipna default: the finite lower bound for mixed files.
         return pd.DataFrame({
             "file": [pdf["file"].iloc[0]],
             "n_rows": [len(pdf)],
             "min_key": [pdf["__k"].min()],
-            "max_key": [pdf["__k"].max()],
+            "max_key": [pdf["__k"].max(skipna=False)],
             "payload": [sk.to_bytes()],
         })
 
@@ -169,10 +178,15 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
         return []
     hashes = np.array([r["__h"] for r in rows], dtype=np.int64)
 
+    # a NULL bound means the file contains NaN keys (see _index_over):
+    # keep the file for any probe on that side — conservative, so the
+    # no-false-negative contract holds; the Bloom sieve still prunes
     zoned = index_df.join(
         probes,
-        (probes["__k"] >= index_df["min_key"])
-        & (probes["__k"] <= index_df["max_key"]),
+        ((probes["__k"] >= index_df["min_key"])
+         | index_df["min_key"].isNull())
+        & ((probes["__k"] <= index_df["max_key"])
+           | index_df["max_key"].isNull()),
         "left_semi")
 
     bc = spark.sparkContext.broadcast(hashes)
@@ -232,7 +246,10 @@ def pruned_range_scan(spark: SparkSession, path: str, index_df: DataFrame,
     files makes the result bit-identical to the full scan.
     """
     full = spark.read.parquet(path)
-    pred = (F.col("max_key") >= F.lit(lo)) & (F.col("min_key") <= F.lit(hi))
+    # NULL bounds mark files containing NaN keys — kept conservatively
+    # (the residual row filter makes the result exact regardless)
+    pred = ((F.col("max_key") >= F.lit(lo)) | F.col("max_key").isNull()) \
+        & ((F.col("min_key") <= F.lit(hi)) | F.col("min_key").isNull())
     files = [r["file"] for r in
              index_df.where(pred).select("file").collect()]
     if files_total is None:

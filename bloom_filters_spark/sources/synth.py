@@ -85,6 +85,20 @@ def documents_pdf(ids: np.ndarray) -> pd.DataFrame:
     is_near = (u >= DUP_FRAC) & (u < DUP_FRAC + NEAR_FRAC) & (ids > 0)
     back = (_stream(ids, 2) % _U64(500)).astype(np.int64) + 1
     cid = np.where(is_dup | is_near, np.maximum(0, ids - back), ids)
+    # resolve the ancestor CHAIN: a dup/near target must itself be a
+    # PURE doc, else the copied text matches nothing actually stored
+    # (the ancestor emitted someone else's words) and the effective dup
+    # rate silently drops below DUP_FRAC. Pure function of ids: each
+    # hop re-derives u/back from the current cid, and cid strictly
+    # decreases toward id 0 (pure by construction), so this terminates.
+    derived = is_dup | is_near
+    while True:
+        unresolved = (derived & (cid > 0)
+                      & (_u01(cid, 1) < DUP_FRAC + NEAR_FRAC))
+        if not unresolved.any():
+            break
+        hop = (_stream(cid, 2) % _U64(500)).astype(np.int64) + 1
+        cid = np.where(unresolved, np.maximum(0, cid - hop), cid)
 
     word_idx, k = _doc_words(cid)
     offsets = np.concatenate([[0], np.cumsum(k)])

@@ -372,6 +372,35 @@ def test_cuckoo_bank_compacts_to_item_proportional_size():
     assert back.contains_hashes(keys).all()
 
 
+def test_cuckoo_bank_fold_compactions_are_amortized(monkeypatch):
+    """Once a bank genuinely needs >= _COMPACT_AT members, a sequential
+    fold must NOT re-pack every step — compaction fires O(log steps)
+    times (each time the bank doubles past its last packed size)."""
+    calls = {"n": 0}
+    orig = CuckooBank.compacted
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(CuckooBank, "compacted", counting)
+    # small members: 64 partials x ~120 items in 128-capacity seeds,
+    # so the packed bank itself needs many members
+    merged = None
+    total = 0
+    for p in range(64):
+        b = CuckooBank.wrap(CuckooFilter(capacity=128))
+        keys = rand_hashes(120, seed=500 + p)
+        total += keys.size
+        b.update_hashes(keys)
+        merged = b if merged is None else merged.merge(b)
+    assert calls["n"] <= 8                     # not ~56 (one per step)
+    assert sum(m.n_items for m in merged.members) == total
+    # still item-proportional: within 2x of the optimally packed bank
+    packed = merged.compacted()
+    assert len(merged.members) <= 2 * len(packed.members) + 1
+
+
 def test_cuckoo_bank_compaction_is_probe_equivalent_any_order():
     hs = [rand_hashes(500, seed=30 + i) for i in range(10)]
     banks = []

@@ -84,6 +84,18 @@ def test_synth_tier_determinism_and_structure(spark):
     docs = synth.generate_documents(spark, 4000).cache()
     n, nd = docs.count(), docs.select("text").distinct().count()
     assert nd < n                                      # exact dups exist
+    # EVERY doc drawn as an exact dup must copy text that is actually
+    # stored at a smaller doc_id (ancestor-chain resolution: a dup of a
+    # dup/near-dup would otherwise match nothing in the corpus)
+    text_by_id = {r["doc_id"]: r["text"] for r in docs.collect()}
+    first_seen = {}
+    for i in range(n):
+        first_seen.setdefault(text_by_id[i], i)
+    u = synth._u01(np.arange(n, dtype=np.int64), 1)
+    dup_ids = np.where((u < synth.DUP_FRAC) & (np.arange(n) > 0))[0]
+    assert len(dup_ids) > 300                          # ~10% of 4000
+    for d in dup_ids.tolist():
+        assert first_seen[text_by_id[d]] < d
     docs.unpersist()
 
     emb = synth.generate_embeddings(spark, 200).collect()

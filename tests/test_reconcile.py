@@ -147,6 +147,29 @@ def test_reconcile_rows_classifies_changed(spark):
     assert any(s == "right_only" for _, s in want)
 
 
+def test_reconcile_rows_sees_null_column_shift(spark):
+    """Spark xxhash64 skips NULL children, so (42, NULL) vs (NULL, 42)
+    would fold identically without the per-column is-null flag: a
+    column-shift corruption must classify as 'changed'."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 2000).select(F.col("id").alias("k"))
+    left = base.select(
+        "k",
+        F.when(F.col("k") % 10 == 3, F.col("k")).alias("v1"),
+        F.when(F.col("k") % 10 != 3, F.col("k")).alias("v2"))
+    # right swaps which column holds the value for k % 10 == 3
+    right = base.select(
+        "k",
+        F.when(F.lit(False), F.col("k")).alias("v1"),
+        F.col("k").alias("v2"))
+    got = {(r["k"], r["status"]) for r in rc.reconcile_rows(
+        left, right, "k", ["v1", "v2"], diff_capacity=512,
+        n_shards=8).collect()}
+    want = {(k, "changed") for k in range(0, 2000) if k % 10 == 3}
+    assert got == want
+
+
 def test_reconcile_rows_identical_tables_empty(spark):
     df = _keyed(spark, 0, 5000).withColumn("v", F.col("k") % 7)
     assert rc.reconcile_rows(df, df, "k", ["v"],

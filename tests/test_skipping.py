@@ -127,6 +127,30 @@ def test_float_keys_bit_identical(spark, tmp_path):
     assert stats["files_scanned"] < stats["files_total"]
 
 
+def test_nan_keys_bit_identical(spark, tmp_path):
+    # Spark's total order makes NaN a matchable key (NaN = NaN in
+    # joins, NaN above every double) — a file holding NaN keys must
+    # not be pruned for a NaN probe (max_key carries the NaN)
+    path = str(tmp_path / "nantbl")
+    df = spark.range(0, 600).select(
+        F.when(F.col("id") % 150 == 7, F.lit(float("nan")))
+        .otherwise(F.col("id") * 0.5).alias("k"))
+    sk.stage_clustered(df, path, "k", 4)
+    idx = sk.build_scan_index(spark, path, "k")
+    probes = spark.createDataFrame(
+        [(float("nan"),), (10.0,), (9999.0,)], "k double")
+    got, _ = sk.pruned_lookup(spark, path, idx, probes, "k")
+    full = spark.read.parquet(path).join(probes, on="k", how="left_semi")
+    import math
+
+    def keyset(rows):
+        return sorted(str("nan" if math.isnan(r["k"]) else r["k"])
+                      for r in rows)
+
+    assert keyset(got.collect()) == keyset(full.collect())
+    assert any(math.isnan(r["k"]) for r in got.collect())
+
+
 def test_timestamp_keys_bit_identical(spark, tmp_path):
     import datetime as dt
     path = str(tmp_path / "tstbl")
