@@ -44,6 +44,7 @@ from bloom_filters_spark.operators import relational as rel
 from bloom_filters_spark.operators import similarity as sim
 from bloom_filters_spark.operators import textstats as ts
 from bloom_filters_spark.operators import multimodal as mm
+from bloom_filters_spark.operators import partitioning as ptn
 from bloom_filters_spark.operators.collisions import (
     absolute_collisions, relative_collisions)
 from bloom_filters_spark.checkpoint import SketchCheckpoint
@@ -440,8 +441,10 @@ def q_quantile_bounds(spark, sf_dir):
     one KLL(200) sketch per lang over documents (grouped map-side
     combine, value-based), each group's p50/p90 estimate verified
     against that group's EXACT rank within ±(0.04 + 1/n_g) (the 1/n_g
-    term absorbs discreteness of integer lengths). One row per lang,
-    each carrying the global booleans."""
+    term absorbs discreteness of integer lengths) — PLUS the balanced
+    range partitioner (operators/partitioning.py): 16 equal-row cut
+    points from the same KLL, EXACT per-bucket counts all within
+    n/16 ± 2εn. One row per lang, each carrying the global booleans."""
     ev = _t(spark, sf_dir, "events").select("value")
 
     def rank_ok(sk, n, qs, tol):
@@ -458,11 +461,22 @@ def q_quantile_bounds(spark, sf_dir):
     td, _ = build_sketch(ev, "value", lambda: TDigest(100),
                          value_based=True)
     td_qs = (0.1, 0.25, 0.5, 0.9, 0.99)
+    # balanced range partitioner (operators/partitioning.py): cut the
+    # SAME KLL into 16 equal-row buckets; every EXACT bucket count must
+    # land within n/16 ± 2εn (ε=0.04, two cut points bound a bucket)
+    n_buckets = 16
+    bounds = ptn.boundaries_from_sketch(kll, n_buckets)
+    bal = ptn.partition_balance(ev, "value", bounds).collect()
+    tol = 2 * 0.04 * n + 1
+    part_ok = (sum(r["n_rows"] for r in bal) == n and
+               all(abs(r["n_rows"] - n / n_buckets) <= tol for r in bal))
     glob = spark.createDataFrame(
         [(len(kll_qs), bool(rank_ok(kll, n, kll_qs, 0.04)),
-          len(td_qs), bool(rank_ok(td, n, td_qs, 0.02)))],
+          len(td_qs), bool(rank_ok(td, n, td_qs, 0.02)),
+          n_buckets, bool(part_ok))],
         "kll_n_quantiles long, kll_ok boolean, "
-        "td_n_quantiles long, td_ok boolean")
+        "td_n_quantiles long, td_ok boolean, "
+        "part_n_buckets long, part_balanced_ok boolean")
 
     docs = _t(spark, sf_dir, "documents").select(
         "lang", F.length("text").cast("double").alias("len")).persist()
@@ -1549,7 +1563,9 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bounds":
             "SELECT lang, TRUE AS grouped_ok, "
             "CAST(6 AS BIGINT) AS kll_n_quantiles, TRUE AS kll_ok, "
-            "CAST(5 AS BIGINT) AS td_n_quantiles, TRUE AS td_ok "
+            "CAST(5 AS BIGINT) AS td_n_quantiles, TRUE AS td_ok, "
+            "CAST(16 AS BIGINT) AS part_n_buckets, "
+            "TRUE AS part_balanced_ok "
             "FROM documents GROUP BY lang",
         "counting_bloom_delete":
             "SELECT CAST(0 AS BIGINT) AS false_negatives",

@@ -7,6 +7,9 @@ from .collisions import (absolute_collisions, collision_sweep_k,
 from .frequent import (heavy_hitters, heavy_hitters_by_group,
                        mg_lookup)
 from .joins import bloom_antijoin, bloom_semijoin
+from .partitioning import (boundaries_from_sketch, partition_balance,
+                           quantile_boundaries, repartition_balanced,
+                           with_range_bucket)
 from .reconcile import build_ibf_shards, ibf_diff_shards, reconcile_keys
 from .skipping import (build_scan_index, build_scan_index_for_files,
                        extend_scan_index, prune_files, pruned_lookup,
@@ -43,4 +46,6 @@ __all__ = [
     "stage_clustered", "build_scan_index", "build_scan_index_for_files",
     "extend_scan_index", "prune_files", "pruned_lookup",
     "pruned_range_scan",
+    "quantile_boundaries", "boundaries_from_sketch", "with_range_bucket",
+    "repartition_balanced", "partition_balance",
 ]
