@@ -503,7 +503,11 @@ def q_quantile_bounds(spark, sf_dir):
     # its unpersist) has run
     rows = per_lang.collect()
     docs.unpersist()
-    return spark.createDataFrame(rows, per_lang.schema).crossJoin(glob)
+    # both sides are a handful of literal rows, but createDataFrame
+    # spreads them over defaultParallelism partitions and the cartesian
+    # product would run 32x32 = 1024 no-op tasks — coalesce first
+    return (spark.createDataFrame(rows, per_lang.schema).coalesce(1)
+            .crossJoin(glob.coalesce(1)))
 
 
 def q_counting_bloom_delete(spark, sf_dir):
@@ -1082,10 +1086,14 @@ def q_bloom_join(spark, sf_dir):
             F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias(
                 "pruned_sum")).collect()[0]
         idx.unpersist()
+        # coalesce the literal side: createDataFrame spreads one row
+        # over defaultParallelism partitions and the cartesian product
+        # would multiply task counts for no work
         p = spark.createDataFrame(
             [(int(row["n_pruned"]), int(row["pruned_sum"]),
               bool(stats["files_scanned"] < stats["files_total"]))],
-            "n_pruned long, pruned_sum long, files_skipped boolean")
+            "n_pruned long, pruned_sum long, files_skipped boolean"
+        ).coalesce(1)
     return s.crossJoin(a).crossJoin(p)
 
 
