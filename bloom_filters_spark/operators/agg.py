@@ -287,15 +287,28 @@ def cms_lookup(df: DataFrame, col: str, cms, *, seed: int = 0,
     return df.withColumn(out_col, lookup(hash_col(F.col(col), seed)))
 
 
-def ibf_recover(df: DataFrame, col: str, ibf, *, seed: int = 0) -> DataFrame:
+def ibf_recover(df: DataFrame, col: str, ibf, *, seed: int = 0,
+                strict: bool = True) -> DataFrame:
     """Materialize IBF-peeled keys as real values — the distributed
     getAllValues (Bloom_project/src/core/InvertibleBloomFilter.hpp:207-213).
 
     Peel the merged IBF on the driver (cells are small), then SEMI-JOIN
     the recovered key-hashes back to the source — a broadcast join on a
     tiny literal table, so Catalyst turns recovery into one scan.
+
+    ``strict`` (default): raise if the peel did not FULLY decode (more
+    keys than the IBF's capacity supports) — a partial key set must
+    never masquerade as getAllValues. Pass ``strict=False`` to accept
+    whatever subset peeled (reconcile-style best-effort callers).
     """
-    keys, signs, _ = ibf.peel()
+    keys, signs, decoded = ibf.peel()
+    if strict and not decoded:
+        raise ValueError(
+            "ibf_recover: the IBF did not fully decode — it holds more "
+            f"keys than its {ibf.m} cells can peel; recovered "
+            f"{len(keys)} before stalling. Size the sketch to "
+            "~1.3-2x the expected key count, or pass strict=False to "
+            "accept the partial set.")
     spark = df.sparkSession
     rec = spark.createDataFrame(
         [(int(np.int64(k)), int(s)) for k, s in zip(keys.view(np.int64), signs)],

@@ -97,22 +97,39 @@ def shingles_col(text_col: str, n: int = 1):
 
 
 # ----------------------------------------------------------------- exact
+def _text_fingerprint(text_col: str):
+    """Two independently seeded xxhash64 halves = a 128-bit text
+    fingerprint. A single 64-bit hash is NOT collision-safe at this
+    module's design point (E[collisions] ≈ n²/2⁶⁵ passes 1 around
+    7×10⁹ docs, and a collision here silently deletes a distinct
+    document); 128 bits pushes that past 10¹⁸ docs. Still only 16
+    bytes on the shuffle — the payload never moves."""
+    return (F.xxhash64(F.col(text_col)),
+            F.xxhash64(F.lit(0x9E3779B9), F.col(text_col)))
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep-first exact dedup: one row per distinct text, smallest id wins.
-    The shuffle key is xxhash64(text), not the text itself."""
-    w = Window.partitionBy(F.xxhash64(F.col(text_col))).orderBy(F.col(id_col))
+    """Keep-first exact dedup: one row per distinct text, smallest id
+    wins. The shuffle key is a 128-bit text fingerprint (two seeded
+    xxhash64 halves), not the text itself."""
+    h1, h2 = _text_fingerprint(text_col)
+    w = Window.partitionBy(h1, h2).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where("__rn = 1").drop("__rn"))
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(text-hash group, n_dups, min_id) for groups with >1 member."""
-    return (df.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+    """(text-hash group, n_dups, min_id) for groups with >1 member.
+    Groups by the same 128-bit fingerprint as ``dedup_exact``;
+    ``text_hash`` exposes the primary half (stable identifier)."""
+    h1, h2 = _text_fingerprint(text_col)
+    return (df.groupBy(h1.alias("text_hash"), h2.alias("__h2"))
             .agg(F.count("*").alias("n_dups"),
                  F.min(id_col).alias("keep_id"))
-            .where("n_dups > 1"))
+            .where("n_dups > 1")
+            .drop("__h2"))
 
 
 # ------------------------------------------------------------ minhash lsh
@@ -266,6 +283,19 @@ def _simhash_signatures_numpy(df: DataFrame, id_col: str, text_col: str,
     return base.mapInPandas(sig, schema="id long, simhash long")
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Keep only rows whose bucket (group on ``keys``) holds ≤ ``cap``
+    members — the hot-bucket guard shared by every LSH candidate stage.
+    The groupBy and semi join reuse the caller's partitioning on
+    ``keys`` (no extra shuffle); use ``lsh_bucket_stats`` to account
+    for what a cap drops."""
+    small = (df.groupBy(*keys)
+             .agg(F.count("*").alias("__bsz"))
+             .where(F.col("__bsz") <= cap)
+             .select(*keys))
+    return df.join(small, keys, "left_semi")
+
+
 def lsh_candidate_pairs(sig_df: DataFrame,
                         bucket_cap: int | None = None) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing any band bucket.
@@ -285,11 +315,7 @@ def lsh_candidate_pairs(sig_df: DataFrame,
     semi-join reuse the same partitioning (no extra shuffle)."""
     sig_df = sig_df.repartition("band", "bucket")
     if bucket_cap is not None:
-        small = (sig_df.groupBy("band", "bucket")
-                 .agg(F.count("*").alias("__bsz"))
-                 .where(F.col("__bsz") <= bucket_cap)
-                 .select("band", "bucket"))
-        sig_df = sig_df.join(small, ["band", "bucket"], "left_semi")
+        sig_df = _cap_buckets(sig_df, ["band", "bucket"], bucket_cap)
     a = sig_df.alias("a")
     b = sig_df.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -319,6 +345,14 @@ def verify_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                    text_col: str, threshold: float,
                    shingle: int = 1) -> DataFrame:
     """Exact shingle-set jaccard on candidate pairs → no false positives.
+
+    The threshold compares the 6-decimal-QUANTIZED score (round, then
+    >=), deliberately: quantization bounds the boundary error at 5e-7
+    while making the accept/reject decision bit-identical across
+    engines (Spark vs the DuckDB oracle) whose raw double arithmetic
+    can differ in the last ulp. A pair whose true jaccard is within
+    5e-7 below the threshold may round in — that is the documented
+    contract, not drift. The cosine operators quantize the same way.
 
     The shingle table is repartitioned on its id ONCE: both pair-side
     joins need it hashed on the same key, so Catalyst reuses a single
@@ -452,11 +486,7 @@ def neardup_simhash(df: DataFrame, id_col: str = "doc_id",
              # ReusedExchange (see lsh_candidate_pairs)
              .repartition("chunk", "val"))
     if bucket_cap is not None:
-        small = (parts.groupBy("chunk", "val")
-                 .agg(F.count("*").alias("__bsz"))
-                 .where(F.col("__bsz") <= bucket_cap)
-                 .select("chunk", "val"))
-        parts = parts.join(small, ["chunk", "val"], "left_semi")
+        parts = _cap_buckets(parts, ["chunk", "val"], bucket_cap)
     a, b = parts.alias("a"), parts.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # exact hamming verification INSIDE the join condition: the
@@ -568,7 +598,11 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
     n_planes/n_tables). The scale path behind ``cosine_pairs``."""
     from .similarity import hyperplane_signatures
 
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    # derive dim from a NON-NULL vector (a null first row would give
+    # size = -1 and poison the projection-matrix shape)
+    dim_row = (df.where(F.col(vec_col).isNotNull()
+                        & (F.size(F.col(vec_col)) > 0))
+               .select(F.size(F.col(vec_col)).alias("d")).first())
     if dim_row is None:
         return df.sparkSession.createDataFrame(
             [], "id1 long, id2 long, cosine double")
@@ -577,11 +611,7 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
                                  n_tables=n_tables, seed=seed)
            .repartition("table", "bucket"))
     if bucket_cap is not None:
-        small = (sig.groupBy("table", "bucket")
-                 .agg(F.count("*").alias("__bsz"))
-                 .where(F.col("__bsz") <= bucket_cap)
-                 .select("table", "bucket"))
-        sig = sig.join(small, ["table", "bucket"], "left_semi")
+        sig = _cap_buckets(sig, ["table", "bucket"], bucket_cap)
     a, b = sig.alias("a"), sig.alias("b")
     cands = (a.join(b, (F.col("a.table") == F.col("b.table"))
                     & (F.col("a.bucket") == F.col("b.bucket"))

@@ -79,11 +79,6 @@ def cuckoo_shard_factory(headroom: float = 1.3):
     return make
 
 
-def shard_col(col, n_shards: int, seed: int = 0):
-    """JVM-side shard id: pmod(xxhash64(key), n_shards)."""
-    return F.pmod(hash_col(col, seed), F.lit(n_shards)).cast("int")
-
-
 def shard_count(shards_df: DataFrame) -> int:
     """The hash modulus recorded in a shard table (one tiny action).
 
@@ -172,9 +167,18 @@ def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
         removed = 0
         if len(rem_pdf):
             arr = rem_pdf["__h"].to_numpy(dtype=np.int64)
-            res = sk.remove_hashes(arr)
-            # cuckoo reports per-item success (a never-inserted key may
-            # find no fingerprint); counting decrements unconditionally
+            # membership pre-check: deleting a never-inserted key from
+            # a counting filter decrements counters SHARED with real
+            # members (a false-negative factory) and corrupts n_rows.
+            # contains_hashes has no false negatives, so members always
+            # pass; non-members slip through only at the configured fp
+            # rate — the delete contract's corruption is bounded by fpp
+            # instead of being certain.
+            arr = arr[sk.contains_hashes(arr)]
+            res = sk.remove_hashes(arr) if arr.size else None
+            # cuckoo additionally reports per-item success (a colliding
+            # fingerprint may still be absent); counting removes all
+            # pre-checked hashes
             removed = int(np.sum(res)) if res is not None else arr.size
         return pd.DataFrame({
             "shard": shard_pdf["shard"].iloc[:1],

@@ -27,7 +27,36 @@ def _cosine(av, bv):
                             lambda a, x: a + x.cast("double") * x))
     nb = F.sqrt(F.aggregate(bv, F.lit(0.0),
                             lambda a, x: a + x.cast("double") * x))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector yields NULL cosine (dropped by the
+    # re-rank) instead of DIVIDE_BY_ZERO under ANSI mode (Spark 4
+    # default)
+    return F.try_divide(dot, na * nb)
+
+
+def _corpus_query_sides(corpus: DataFrame, queries: DataFrame,
+                        id_col: str, vec_col: str, qid_col: str):
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"))
+    q = queries.select(F.col(qid_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    return c, q
+
+
+def _rank_exact(pairs: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, cv, qv) pairs → exact top-k re-rank.
+
+    The one scoring path all three ANN variants share. A zero-norm (or
+    NULL) vector makes Spark's division return NULL cosine — those rows
+    are dropped so they never occupy a rank slot."""
+    scored = pairs.select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.where(F.col("cosine").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
 def ann_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -35,19 +64,8 @@ def ann_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         qid_col: str = "query_id") -> DataFrame:
     """Exact top-k neighbors per query. → (query_id, neighbor_id, rank,
     cosine). Queries broadcast → no shuffle of the corpus."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
-    joined = c.crossJoin(F.broadcast(q))
-    scored = joined.select(
-        "query_id", "neighbor_id",
-        F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cosine"))
+    c, q = _corpus_query_sides(corpus, queries, id_col, vec_col, qid_col)
+    return _rank_exact(c.crossJoin(F.broadcast(q)), k)
 
 
 def hyperplane_signatures(df: DataFrame, dim: int, *, id_col: str = "vec_id",
@@ -60,6 +78,8 @@ def hyperplane_signatures(df: DataFrame, dim: int, *, id_col: str = "vec_id",
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not len(pdf):
+                continue
             vecs = np.stack([np.asarray(v, dtype=np.float64)
                              for v in pdf["__v"]])
             ids, tbl, bkt = [], [], []
@@ -74,7 +94,11 @@ def hyperplane_signatures(df: DataFrame, dim: int, *, id_col: str = "vec_id",
                 bkt.extend(bucket.view(np.int64).tolist())
             yield pd.DataFrame({"id": ids, "table": tbl, "bucket": bkt})
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # NULL / empty embeddings would arrive as ragged rows and crash the
+    # np.stack — filter JVM-side; a row with no vector has no signature
+    base = df.where(F.col(vec_col).isNotNull()
+                    & (F.size(F.col(vec_col)) > 0)).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return base.mapInPandas(sig, schema="id long, table int, bucket long")
 
 
@@ -96,11 +120,20 @@ def kmeans_centroids(df: DataFrame, dim: int, n_centroids: int, *,
     and Catalyst compiles orderBy+limit to TakeOrderedAndProject
     (per-partition top-K + driver merge of K rows — no full sort
     shuffle, driver memory bounded by sample_rows)."""
-    pdf = (df.select(vec_col)
+    pdf = (df.where(F.col(vec_col).isNotNull()
+                    & (F.size(F.col(vec_col)) > 0))
+           .select(vec_col)
            .orderBy(F.xxhash64(F.col(vec_col)))
            .limit(sample_rows).toPandas())
+    if not len(pdf):
+        raise ValueError(
+            "kmeans_centroids: no non-empty vectors to train the coarse "
+            "quantizer on")
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    # a corpus smaller than the requested cell count still quantizes:
+    # one cell per sampled vector (IVF degrades toward brute force)
+    n_centroids = min(n_centroids, len(X))
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=n_centroids, replace=False)]
     for _ in range(iters):
@@ -130,12 +163,17 @@ def _cell_assignments(df: DataFrame, centroids: np.ndarray, *,
             X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
                                1e-12)
             sims = X @ C.T                          # (n, n_centroids)
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            # n_probe may exceed the centroid count when a tiny corpus
+            # clamped the quantizer — probe every cell in that case
+            width = min(n_probe, C.shape[0])
+            top = np.argsort(-sims, axis=1)[:, :width]
             yield pd.DataFrame({
-                "id": np.repeat(pdf["__id"].to_numpy(), n_probe),
+                "id": np.repeat(pdf["__id"].to_numpy(), width),
                 "cell": top.reshape(-1).astype(np.int32)})
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = df.where(F.col(vec_col).isNotNull()
+                    & (F.size(F.col(vec_col)) > 0)).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return base.mapInPandas(assign, schema="id long, cell int")
 
 
@@ -165,19 +203,9 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
         .select(F.col("q.id").alias("query_id"),
                 F.col("c.id").alias("neighbor_id"))
         .distinct())
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
-    scored = (cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
-              .select("query_id", "neighbor_id",
-                      F.round(_cosine(F.col("cv"), F.col("qv")), 6)
-                      .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cosine"))
+    c, q = _corpus_query_sides(corpus, queries, id_col, vec_col, qid_col)
+    return _rank_exact(
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id"), k)
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -200,16 +228,6 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .select(F.col("q.id").alias("query_id"),
                 F.col("c.id").alias("neighbor_id"))
         .distinct())
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(qid_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
-    scored = (cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
-              .select("query_id", "neighbor_id",
-                      F.round(_cosine(F.col("cv"), F.col("qv")), 6)
-                      .alias("cosine")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank", "cosine"))
+    c, q = _corpus_query_sides(corpus, queries, id_col, vec_col, qid_col)
+    return _rank_exact(
+        cands.join(c, "neighbor_id").join(F.broadcast(q), "query_id"), k)

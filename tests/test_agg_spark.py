@@ -181,6 +181,17 @@ def test_ibf_recover_set_difference(spark, events):
     assert got == expect
 
 
+def test_ibf_recover_raises_on_partial_decode(spark):
+    """An overloaded IBF must fail loudly, not return a silent subset
+    masquerading as getAllValues (strict=False opts into best-effort)."""
+    keys = spark.range(0, 2000).select(F.col("id").alias("k"))
+    sk, _ = build_sketch(keys, "k", lambda: InvertibleBloomSketch(64, 3))
+    with pytest.raises(ValueError, match="did not fully decode"):
+        ibf_recover(keys, "k", sk)
+    partial = ibf_recover(keys, "k", sk, strict=False)
+    assert partial.count() < 2000
+
+
 def test_partials_equal_single_pass(spark, events):
     """Distributed build == driver-side single pass (byte-identical)."""
     sk, _ = build_sketch(events, "user_id", lambda: HLLSketch(12))
@@ -288,6 +299,34 @@ def test_sharded_counting_delete(spark, events):
             == keys.count() - n_gone)
     shards.unpersist()
     shards2.unpersist()
+
+def test_sharded_remove_never_inserted_keys_is_safe(spark, events):
+    """Deleting keys that were never inserted must not corrupt shared
+    counters into false negatives (the membership pre-check bounds the
+    damage at the FP rate instead of certainty)."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, probe_sharded,
+        remove_sharded)
+
+    keys = events.select("user_id").distinct().cache()
+    n = keys.count()
+    shards = build_sharded(keys, "user_id", n_shards=8,
+                           factory=counting_shard_factory(0.01)).cache()
+    shards.count()
+    absent = spark.range(10_000_000, 10_020_000).select(
+        F.col("id").alias("user_id"))
+    shards2 = remove_sharded(absent, "user_id", shards).cache()
+    # every real member still probes present
+    assert probe_sharded(keys, "user_id", shards2) \
+        .where(~F.col("seen")).count() == 0
+    # n_rows not decremented below the true count by non-member deletes
+    # (at most the fp-rate slip-through)
+    total = sum(r["n_rows"] for r in shards2.collect())
+    assert n - total <= 0.02 * 20_000
+    keys.unpersist()
+    shards.unpersist()
+    shards2.unpersist()
+
 
 def test_sharded_empty_top_shard_routes_correctly(spark):
     """ADVICE r2 regression: the hash modulus must come from the shard

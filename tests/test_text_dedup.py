@@ -113,6 +113,38 @@ def test_ngram_jaccard_exact(spark, dup_docs):
     assert abs(got[(0, 2)] - round(expect, 6)) < 1e-9
 
 
+def test_ann_tolerates_null_zero_and_tiny_inputs(spark, sf_dir):
+    """Robustness at the scale route: NULL / zero embeddings must not
+    crash the LSH signature kernel or leak NULL-cosine rows into the
+    top-k, and a corpus smaller than the IVF cell count still answers."""
+    from bloom_filters_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    dirty = emb.limit(50).unionByName(spark.createDataFrame(
+        [(90_001, None, 0), (90_002, [0.0] * dim, 0)],
+        emb.schema))
+    queries = (emb.limit(3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    for res in (ann_topk_bruteforce(dirty, queries, k=5),
+                ann_topk_lsh(dirty, queries, dim=dim, k=5,
+                             n_planes=6, n_tables=4)):
+        rows = res.collect()
+        assert rows, "no results"
+        assert all(r["cosine"] is not None for r in rows)
+        assert all(r["neighbor_id"] not in (90_001, 90_002) for r in rows)
+    # NULL-embedding queries: dropped from signatures, not a crash
+    nq = spark.createDataFrame([(7, None)],
+                               "query_id long, embedding array<float>")
+    assert ann_topk_lsh(emb.limit(50), nq, dim=dim, k=3).count() == 0
+    # corpus smaller than n_centroids: quantizer clamps, IVF degrades
+    # toward brute force instead of raising
+    tiny = emb.limit(6)
+    res = ann_topk_ivf(tiny, queries, dim=dim, k=2,
+                       n_centroids=16, n_probe=16)
+    assert res.count() > 0
+
+
 def test_cosine_pairs_and_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     dim = len(emb.first()["embedding"])
