@@ -884,10 +884,11 @@ def q_pages_invariant(spark, sf_dir):
 def q_multimodal(spark, sf_dir):
     """Multimodal plumbing, both stages in one result (r3 registry
     merge): binary payload → fixed-size frame sampling (every 2nd
-    64-byte frame of a 269-byte PGM payload) JOINED with the
-    decode→feature pipeline (REAL in-repo pure-numpy Netpbm codec —
-    synthetic_media emits genuine P5 images; every row decodes ok into
-    a 16-dim feature) on media_id — 2 frame rows per media, each
+    64-byte frame of a 269-byte PGM payload; the trailing 13-byte
+    partial frame is kept — ceil split) JOINED with the decode→feature
+    pipeline (REAL in-repo pure-numpy Netpbm codec — synthetic_media
+    emits genuine P5 images; every row decodes ok into a 16-dim
+    feature) on media_id — 3 frame rows per media (idx 0, 2, 4), each
     carrying that media's decode columns."""
     media = mm.synthetic_media(spark, 100)
     frames = (mm.sample_frames(media, every_n=2, frame_bytes=64)
@@ -1632,9 +1633,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(2000 AS BIGINT) AS n_rows",
         "multimodal":
             "SELECT r.range AS media_id, f.frame_idx, "
-            "CAST(64 AS BIGINT) AS n_bytes, TRUE AS ok, "
+            "CAST(CASE WHEN f.frame_idx = 4 THEN 13 ELSE 64 END AS BIGINT) "
+            "AS n_bytes, TRUE AS ok, "
             "CAST(16 AS INTEGER) AS n_features FROM range(100) r, "
-            "(SELECT unnest([0, 2]) AS frame_idx) f",
+            "(SELECT unnest([0, 2, 4]) AS frame_idx) f",
         "streaming_accumulate":
             "SELECT TRUE AS matches_batch, "
             "(SELECT COUNT(*) FROM documents) AS n_rows",

@@ -93,7 +93,9 @@ class BloomSketch:
         return int(self.bits.nbytes)
 
     def bits_set(self) -> int:
-        return int(np.unpackbits(self.bits).sum())
+        # lookup-table popcount: unpackbits would materialize an 8x
+        # transient (8 GB for a 1 GB filter)
+        return int(_POPCOUNT[self.bits].sum(dtype=np.int64))
 
     def fill_ratio(self) -> float:
         return self.bits_set() / self.m

@@ -163,7 +163,13 @@ class InvertibleBloomSketch:
             np.bitwise_xor.at(key_xor, idx, np.repeat(keys, self.k))
             np.bitwise_xor.at(chk_xor, idx,
                               np.repeat(_check(keys), self.k))
-        decoded = bool((count == 0).all())
+        # zero counts alone are NOT proof of full decode: a +1/-1 key
+        # pair whose k cells fully collide cancels every count but
+        # leaves key_xor = A^B behind — without the residual-xor check
+        # that pair would be silently reported as in-sync (probability
+        # ~(k/m)^k per opposing pair, real at fleet scale)
+        decoded = bool((count == 0).all() and (key_xor == 0).all()
+                       and (chk_xor == 0).all())
         keys = (np.concatenate(out_keys) if out_keys
                 else np.zeros(0, dtype=_U64))
         signs = (np.concatenate(out_signs) if out_signs

@@ -151,11 +151,21 @@ def extract_features(df: DataFrame,
             out_feat, ok = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 try:
+                    # TypeError covers NULL payload/meta rows —
+                    # bytes(None) must flag the row, not kill the task
                     arr = decoder(bytes(payload), meta)
-                    stripes = np.array_split(arr.ravel(), n_features)
+                    flat = arr.ravel()
+                    if flat.size == 0:
+                        raise ValueError("decoded to an empty array")
+                    if flat.size < n_features:
+                        # tile tiny images so no stripe is empty (an
+                        # empty stripe's mean is NaN — which would ride
+                        # out flagged ok=true)
+                        flat = np.resize(flat, n_features)
+                    stripes = np.array_split(flat, n_features)
                     out_feat.append([float(s.mean()) for s in stripes])
                     ok.append(True)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, TypeError):
                     out_feat.append([0.0] * n_features)
                     ok.append(False)
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -168,23 +178,34 @@ def resize_images(df: DataFrame, width: int, height: int,
                   decoder: Callable = netpbm_decode) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode (PGM for grayscale,
     PPM for RGB), so resized payloads stay decodable by the same codec
-    and the pipeline composes end to end."""
+    and the pipeline composes end to end.
+
+    Undecodable rows (corrupt/NULL payloads) are DROPPED, matching the
+    extract_features contract that bad payloads never kill the job;
+    audit them with ``extract_features``' ``ok`` flag on the input."""
     def rez(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, metas = [], []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
-                arr = decoder(bytes(payload), meta)
+            mids, kinds, payloads, metas = [], [], [], []
+            for mid, kd, payload, meta in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["meta"]):
+                try:
+                    arr = decoder(bytes(payload), meta)
+                except (NotImplementedError, ValueError, TypeError):
+                    continue
                 yi = (np.linspace(0, arr.shape[0] - 1, height)).astype(int)
                 xi = (np.linspace(0, arr.shape[1] - 1, width)).astype(int)
                 out = arr[np.ix_(yi, xi)]
                 quant = np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+                mids.append(mid)
+                kinds.append(kd)
                 payloads.append(ppm_encode(quant) if quant.ndim == 3
                                 else pgm_encode(quant))
                 metas.append({"width": width, "height": height,
                               "n_frames": 1, "sample_rate": 0})
-            yield pd.DataFrame({"media_id": pdf["media_id"],
-                                "kind": pdf["kind"],
-                                "payload": payloads, "meta": metas})
+            if mids:        # an all-dropped batch has no typed columns
+                yield pd.DataFrame({"media_id": mids, "kind": kinds,
+                                    "payload": payloads, "meta": metas})
     return df.mapInPandas(rez, schema=MEDIA_SCHEMA)
 
 
@@ -192,14 +213,18 @@ def sample_frames(df: DataFrame, every_n: int = 2,
                   frame_bytes: int = 64) -> DataFrame:
     """Frame sampling for video-shaped payloads: split the payload into
     fixed-size frames, keep every n-th → one output row per kept frame.
-    Pure byte plumbing (no codec needed)."""
+    Pure byte plumbing (no codec needed). The trailing partial frame is
+    KEPT (ceil split — every payload byte belongs to exactly one frame,
+    regardless of payload length); NULL payloads emit no frames."""
     def samp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             mid, kind, fidx, frames = [], [], [], []
             for m, kd, payload in zip(pdf["media_id"], pdf["kind"],
                                       pdf["payload"]):
+                if payload is None:
+                    continue
                 raw = bytes(payload)
-                n = max(1, len(raw) // frame_bytes)
+                n = -(-len(raw) // frame_bytes)          # ceil
                 for i in range(0, n, every_n):
                     mid.append(m)
                     kind.append(kd)

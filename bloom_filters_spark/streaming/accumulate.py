@@ -7,6 +7,14 @@ persist every merged state to a checkpoint dir (so a killed stream
 resumes from the last merged sketch — the streaming twin of
 checkpoint.SketchCheckpoint).
 
+Exactly-once fold: foreachBatch is at-least-once (Spark may REPLAY a
+micro-batch whose offsets were not committed before a crash), so the
+persisted state records the last merged ``batch_id`` and a replayed or
+out-of-order batch is skipped instead of merged twice — without this,
+count-shaped sketches (CMS / Misra-Gries / KLL / t-digest) would
+silently double-count the replayed batch. (Bloom/HLL are idempotent
+under re-merge, but the accumulator accepts any factory.)
+
 The reference has no streaming (its GUI ingests one line per frame,
 Bloom_project/src/core/Bloom_project.cpp:916-935 — cosmetic); this is
 the Spark-native extension point promised in SURVEY.md §2.8.
@@ -24,7 +32,13 @@ from ..operators.agg import build_sketch
 
 
 class StreamingSketchAccumulator:
-    """foreachBatch sink that folds micro-batches into one sketch."""
+    """foreachBatch sink that folds micro-batches into one sketch.
+
+    ``state_dir`` must be paired with the query's Spark
+    ``checkpointLocation``: Spark's checkpoint is what keeps batch ids
+    monotone across restarts, which the replay cursor relies on. A
+    fresh query (new checkpoint, ids restarting at 0) needs a fresh
+    state_dir."""
 
     def __init__(self, col: str, factory: Callable, *,
                  value_based: bool = False, state_dir: str | None = None):
@@ -35,6 +49,7 @@ class StreamingSketchAccumulator:
         self.sketch = None
         self.n_rows = 0
         self.n_batches = 0
+        self.last_batch_id = -1
         if state_dir:
             self._restore()
 
@@ -46,9 +61,10 @@ class StreamingSketchAccumulator:
         if os.path.exists(path):
             with open(path, "rb") as f:
                 raw = f.read()
-            n = int.from_bytes(raw[:8], "little")
-            self.n_rows = n
-            self.sketch = sketch_from_bytes(raw[8:])
+            self.n_rows = int.from_bytes(raw[:8], "little")
+            self.last_batch_id = int.from_bytes(raw[8:16], "little",
+                                                signed=True)
+            self.sketch = sketch_from_bytes(raw[16:])
 
     def _persist(self) -> None:
         if not self.state_dir:
@@ -57,13 +73,20 @@ class StreamingSketchAccumulator:
         tmp = self._state_path() + ".tmp"
         with open(tmp, "wb") as f:
             f.write(self.n_rows.to_bytes(8, "little"))
+            f.write(self.last_batch_id.to_bytes(8, "little", signed=True))
             f.write(self.sketch.to_bytes())
         os.replace(tmp, self._state_path())
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id is not None and batch_id <= self.last_batch_id:
+            return          # at-least-once replay of an already-merged batch
         part, n = build_sketch(batch_df, self.col, self.factory,
                                value_based=self.value_based)
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
         if n == 0:
+            if self.sketch is not None:
+                self._persist()     # still advance the replay cursor
             return
         self.sketch = part if self.sketch is None else self.sketch.merge(part)
         self.n_rows += n

@@ -72,7 +72,12 @@ class StreamingShardedDedup:
             os.path.join(self.state_dir, vs[-1]))
 
     def _write_version(self, shards: DataFrame) -> None:
-        nxt = f"v{len(self._versions()) + 1:06d}"
+        # max+1, not count+1: versions grow one full shard-table copy
+        # per batch, so operators WILL prune old ones — a count-derived
+        # name would then collide with a surviving directory and
+        # os.replace onto a non-empty dir kills the stream
+        vs = self._versions()
+        nxt = f"v{(int(vs[-1][1:]) if vs else 0) + 1:06d}"
         tmp = os.path.join(self.state_dir, nxt + ".tmp")
         shards.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, os.path.join(self.state_dir, nxt))

@@ -74,11 +74,19 @@ def test_streaming_accumulation(spark, tmp_path):
     assert acc.n_rows == 4000
     est = acc.sketch.estimate()
     assert abs(est - 4000) / 4000 < 0.1
-    # state persisted → a new accumulator restores it
+    # state persisted → a new accumulator restores it byte-identically
     acc2 = StreamingSketchAccumulator("user_id", lambda: HLLSketch(12),
                                       state_dir=str(tmp_path / "state"))
     assert acc2.sketch is not None
     assert acc2.sketch.to_bytes() == acc.sketch.to_bytes()
+    # at-least-once replay: re-delivering an already-merged batch_id
+    # must NOT double-count (the restored cursor skips it)
+    replay = spark.range(0, 1000).select(F.col("id").alias("user_id"))
+    before = acc2.n_rows
+    acc2(replay, acc2.last_batch_id)
+    assert acc2.n_rows == before
+    acc2(replay, acc2.last_batch_id + 1)     # a genuinely new batch folds
+    assert acc2.n_rows == before + 1000
 
 
 def test_streaming_sharded_dedup(spark, tmp_path):
@@ -118,6 +126,14 @@ def test_streaming_sharded_dedup(spark, tmp_path):
     # state is versioned; a reader sees the latest complete version
     shards = guard.current_shards()
     assert shards is not None and shards.count() > 0
+    # pruning old versions must not make the next name collide (the
+    # version counter is max+1, not count+1)
+    import os
+    vs = guard._versions()
+    assert len(vs) >= 2
+    shutil.rmtree(os.path.join(str(tmp_path / "state"), vs[0]))
+    guard._write_version(shards)
+    assert guard._versions()[-1] > vs[-1]
 
 
 def test_catalog_table_kill_resume(spark, sf_dir, tmp_path):

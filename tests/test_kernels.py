@@ -445,6 +445,31 @@ def test_ibf_insert_remove_contains():
     assert ibf.contains_hashes(drop).mean() < 0.05
 
 
+def test_ibf_peel_flags_colliding_opposite_pair_undecoded():
+    """A +1/-1 key pair whose k cells fully coincide cancels every
+    count to zero but leaves key_xor = A^B — peel must report
+    decoded=False (zero counts alone are not proof of full decode)."""
+    from bloom_filters_spark.kernels.invertible import _ibf_indices
+
+    m, k = 8, 3
+    seen, pair = {}, None
+    for key in range(1, 500_000):
+        h = np.array([key], dtype=np.uint64)
+        cells = tuple(sorted(_ibf_indices(h, k, m).ravel().tolist()))
+        if cells in seen and seen[cells] != key:
+            pair = (seen[cells], key)
+            break
+        seen.setdefault(cells, key)
+    assert pair is not None, "no colliding pair found at m=8"
+    a, b = pair
+    left = InvertibleBloomSketch(m, k)
+    left.update_hashes(np.array([a], dtype=np.int64))
+    right = InvertibleBloomSketch(m, k)
+    right.update_hashes(np.array([b], dtype=np.int64))
+    _, _, decoded = left.subtract(right).peel()
+    assert decoded is False
+
+
 def test_ibf_peel_recovers_all():
     # getAllValues analogue: full listing when cells ≥ ~1.3× items
     keys = rand_hashes(500, seed=19)

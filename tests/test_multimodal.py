@@ -101,6 +101,28 @@ def test_corrupt_rows_flag_ok_false_not_task_failure(spark):
     assert all(ok == (mid % 2 == 0) for mid, ok in out.items())
 
 
+def test_null_payload_and_tiny_image_do_not_kill_or_poison(spark):
+    from pyspark.sql import functions as F
+    from bloom_filters_spark.operators.multimodal import pgm_encode
+
+    tiny = pgm_encode(np.arange(4, dtype=np.uint8).reshape(2, 2))
+    df = synthetic_media(spark, 4).withColumn(
+        "payload",
+        F.when(F.col("media_id") == 1, F.lit(None))      # NULL payload
+        .when(F.col("media_id") == 2, F.lit(tiny))       # 4 px < 16 feats
+        .otherwise(F.col("payload")))
+    rows = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert rows[1]["ok"] is False                        # flagged, no crash
+    assert rows[2]["ok"] is True
+    assert all(f == f for f in rows[2]["feature"])       # no NaN leaks
+    # resize drops the undecodable row instead of failing the task
+    ok_ids = {r["media_id"] for r in resize_images(df, 4, 4).collect()}
+    assert ok_ids == {0, 2, 3}
+    # sample_frames skips NULL payloads
+    fids = {r["media_id"] for r in sample_frames(df).collect()}
+    assert 1 not in fids
+
+
 def test_resize_and_frame_sample(spark):
     df = synthetic_media(spark, 5)
     rez = resize_images(df, 4, 4)
@@ -111,7 +133,12 @@ def test_resize_and_frame_sample(spark):
     assert out.shape == (4, 4)
     frames = sample_frames(df, every_n=2, frame_bytes=64)
     per = frames.groupBy("media_id").count().collect()
-    assert all(r["count"] == 2 for r in per)     # 269 B → 4 frames → 0,2
+    # 269 B → ceil split → 5 frames → kept 0, 2, 4 (4 = 13-byte tail:
+    # every payload byte belongs to exactly one frame)
+    assert all(r["count"] == 3 for r in per)
+    tails = {r["frame_idx"]: len(r["frame"])
+             for r in frames.where("media_id = 0").collect()}
+    assert tails == {0: 64, 2: 64, 4: 13}
 
 
 def test_fake_decoder_contract():
