@@ -37,32 +37,42 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .kernels import sketch_from_bytes
 from .operators.agg import hash_col
 
-_LINEAGE_SCHEMA = ("sketch_id string, shard int, attempt long, n_rows long, "
-                   "source string, created_ts timestamp, "
-                   "build_ms long, n_bytes long, payload binary")
-
-# The documented Iceberg DDL this lineage table maps onto 1:1 — the
-# production form of the checkpoint store (every type below is the
-# exact Iceberg type Spark's writeTo(...).append() produces for the
-# corresponding Spark type; asserted by tests/test_checkpoint_streaming
-# test_iceberg_schema_contract so the "swap the writer" claim is a
-# tested contract, not prose). Partitioning by shard gives resume's
-# per-shard reads partition pruning for free.
-ICEBERG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
-  sketch_id  string,
-  shard      int,
-  attempt    long,
-  n_rows     long,
-  source     string,
-  created_ts timestamp,
-  build_ms   long,
-  n_bytes    long,
-  payload    binary
-) USING iceberg PARTITIONED BY (shard)"""
+# Single source of truth for the lineage table: (name, iceberg_type).
+# _LINEAGE_SCHEMA, ICEBERG_DDL, and CATALOG_DDL are all derived from
+# this list so a column added here lands in every surface at once — a
+# column added to one literal but not another would only surface when
+# the *other* backend is exercised (writeTo().append() schema mismatch).
+_LINEAGE_COLUMNS = [
+    ("sketch_id", "string"),
+    ("shard", "int"),
+    ("attempt", "long"),
+    ("n_rows", "long"),
+    ("source", "string"),
+    ("created_ts", "timestamp"),
+    ("build_ms", "long"),
+    ("n_bytes", "long"),
+    ("payload", "binary"),
+]
 
 # Iceberg type -> Spark DDL type for the contract test
 _ICEBERG_TO_SPARK = {"string": "string", "int": "int", "long": "bigint",
                      "timestamp": "timestamp", "binary": "binary"}
+
+# every Iceberg type name above is also valid Spark DDL, so the Spark
+# schema string can use the same spellings directly
+_LINEAGE_SCHEMA = ", ".join(f"{n} {t}" for n, t in _LINEAGE_COLUMNS)
+
+_DDL_BODY = ",\n".join(f"  {n:<10} {t}" for n, t in _LINEAGE_COLUMNS)
+
+# The documented Iceberg DDL this lineage table maps onto 1:1 — the
+# production form of the checkpoint store (every type is the exact
+# Iceberg type Spark's writeTo(...).append() produces for the
+# corresponding Spark type; asserted by tests/test_checkpoint_streaming
+# test_iceberg_schema_contract so the "swap the writer" claim is a
+# tested contract, not prose). Partitioning by shard gives resume's
+# per-shard reads partition pruning for free.
+ICEBERG_DDL = ("CREATE TABLE IF NOT EXISTS {table} (\n" + _DDL_BODY
+               + "\n) USING iceberg PARTITIONED BY (shard)")
 
 # Catalog-agnostic form of the same table: any DataSourceV2 catalog
 # (Iceberg on a cluster; Spark's built-in JDBCTableCatalog over embedded
@@ -71,17 +81,7 @@ _ICEBERG_TO_SPARK = {"string": "string", "int": "int", "long": "bigint",
 # read-back + resume through it). The write branch is therefore
 # executed in-repo, not just schema-contract-checked; swapping to
 # Iceberg is exactly one catalog config.
-CATALOG_DDL = """CREATE TABLE IF NOT EXISTS {table} (
-  sketch_id  string,
-  shard      int,
-  attempt    long,
-  n_rows     long,
-  source     string,
-  created_ts timestamp,
-  build_ms   long,
-  n_bytes    long,
-  payload    binary
-)"""
+CATALOG_DDL = "CREATE TABLE IF NOT EXISTS {table} (\n" + _DDL_BODY + "\n)"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
