@@ -1221,7 +1221,6 @@ def q_string_digests(spark, sf_dir):
     murmur3_32 :81-137): each applied per-word over 100 fixed strings
     in a pandas UDF and SUMmed; the oracle pins the published-algorithm
     constants (independently recomputed)."""
-    import pandas as pd
     from bloom_filters_spark.kernels.hashing import murmur3_32, poly_hash
 
     @F.pandas_udf("long")

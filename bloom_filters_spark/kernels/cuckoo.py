@@ -280,7 +280,14 @@ class CuckooBank:
         blobs = [m.to_bytes() for m in self.members]
         lens = np.array([len(b) for b in blobs], dtype=np.int64)
         flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
-        return pack("cuckoo_bank", {"count": len(blobs)}, lens, flat)
+        # packed_len must survive the wire: tree-merge partials cross
+        # every level as bytes, and a bank deserialized with
+        # _packed_len=0 would re-compact on its next merge — per-entry
+        # re-insert work at every level, defeating the geometric
+        # amortization exactly on the distributed path.
+        return pack("cuckoo_bank",
+                    {"count": len(blobs), "packed_len": self._packed_len},
+                    lens, flat)
 
     @classmethod
     def _from_state(cls, params, bufs):
@@ -290,4 +297,6 @@ class CuckooBank:
         for ln in lens.astype(int):
             members.append(sketch_from_bytes(raw[off:off + ln]))
             off += ln
-        return cls(members)
+        bank = cls(members)
+        bank._packed_len = int(params.get("packed_len", 0))
+        return bank

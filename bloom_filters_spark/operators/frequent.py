@@ -102,12 +102,14 @@ def heavy_hitters_by_group(df: DataFrame, col: str,
     high-cardinality grouping fail loudly (with guidance) instead of
     silently collecting an unbounded summary set onto the driver."""
     gcols = list(group_cols)
-    summaries = build_grouped_sketches(
+    # take(max_groups + 1) is both the guard and the rows in ONE job:
+    # if it returns <= max_groups rows it returned every group, so a
+    # separate count + persist + collect round trip is redundant.
+    rows = build_grouped_sketches(
         df.where(F.col(col).isNotNull()), col,
-        lambda: MisraGriesSketch(capacity), gcols, seed=seed).persist()
-    n_groups = summaries.limit(max_groups + 1).count()
-    if n_groups > max_groups:
-        summaries.unpersist()
+        lambda: MisraGriesSketch(capacity), gcols,
+        seed=seed).take(max_groups + 1)
+    if len(rows) > max_groups:
         raise ValueError(
             f"heavy_hitters_by_group collects one {capacity}-counter "
             f"summary per group to the driver; grouping by {gcols} "
@@ -117,12 +119,11 @@ def heavy_hitters_by_group(df: DataFrame, col: str,
             "count, or raise max_groups explicitly.")
     spark = df.sparkSession
     cand_rows, floor_rows = [], []
-    for r in summaries.collect():
+    for r in rows:
         g = tuple(r[c] for c in gcols)
         sk = sketch_from_bytes(bytes(r["payload"]))
         floor_rows.append((*g, float(int(r["n_rows"]) / (capacity + 1))))
         cand_rows.extend((*g, int(k)) for k in sk.keys.view("int64"))
-    summaries.unpersist()
     gschema = ", ".join(f"`{c}` {t}" for c, t in df.select(*gcols).dtypes)
     cand = spark.createDataFrame(cand_rows, f"{gschema}, __h long")
     floors = spark.createDataFrame(floor_rows, f"{gschema}, __floor double")

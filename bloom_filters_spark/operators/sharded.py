@@ -166,20 +166,36 @@ def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
         sk = sketch_from_bytes(bytes(shard_pdf["payload"].iloc[0]))
         removed = 0
         if len(rem_pdf):
-            arr = rem_pdf["__h"].to_numpy(dtype=np.int64)
             # membership pre-check: deleting a never-inserted key from
             # a counting filter decrements counters SHARED with real
             # members (a false-negative factory) and corrupts n_rows.
             # contains_hashes has no false negatives, so members always
             # pass; non-members slip through only at the configured fp
-            # rate — the delete contract's corruption is bounded by fpp
-            # instead of being certain.
-            arr = arr[sk.contains_hashes(arr)]
-            res = sk.remove_hashes(arr) if arr.size else None
-            # cuckoo additionally reports per-item success (a colliding
-            # fingerprint may still be absent); counting removes all
-            # pre-checked hashes
-            removed = int(np.sum(res)) if res is not None else arr.size
+            # rate. The check must hold PER REMOVAL INSTANCE, not per
+            # batch: a key inserted once but appearing twice in one
+            # removal feed would pass a single whole-batch pre-check
+            # twice and certainly corrupt shared counters. So duplicates
+            # are removed in waves — one instance per distinct hash per
+            # wave, membership re-checked against the already-decremented
+            # state before each wave — keeping multiset semantics (a key
+            # inserted c times removes up to c times) while bounding
+            # over-removal by fpp, as documented.
+            uniq, counts = np.unique(
+                rem_pdf["__h"].to_numpy(dtype=np.int64), return_counts=True)
+            while uniq.size:
+                present = sk.contains_hashes(uniq)
+                batch = uniq[present]
+                if not batch.size:
+                    break
+                res = sk.remove_hashes(batch)
+                # cuckoo additionally reports per-item success (a
+                # colliding fingerprint may still be absent); counting
+                # removes all pre-checked hashes
+                removed += int(np.sum(res)) if res is not None else batch.size
+                # absent keys stay absent (state only shrinks): drop them
+                counts = counts - 1
+                keep = present & (counts > 0)
+                uniq, counts = uniq[keep], counts[keep]
         return pd.DataFrame({
             "shard": shard_pdf["shard"].iloc[:1],
             "payload": [sk.to_bytes()],

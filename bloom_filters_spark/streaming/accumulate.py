@@ -30,6 +30,12 @@ from pyspark.sql import DataFrame
 from ..kernels import sketch_from_bytes
 from ..operators.agg import build_sketch
 
+# State-file header: magic + format version. Any future layout change
+# bumps _STATE_VERSION so _restore can dispatch (or refuse loudly)
+# instead of misparsing bytes written by an older release.
+_STATE_MAGIC = b"BFSA"
+_STATE_VERSION = 1
+
 
 class StreamingSketchAccumulator:
     """foreachBatch sink that folds micro-batches into one sketch.
@@ -58,13 +64,26 @@ class StreamingSketchAccumulator:
 
     def _restore(self) -> None:
         path = self._state_path()
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                raw = f.read()
-            self.n_rows = int.from_bytes(raw[:8], "little")
-            self.last_batch_id = int.from_bytes(raw[8:16], "little",
-                                                signed=True)
-            self.sketch = sketch_from_bytes(raw[16:])
+        if not os.path.exists(path):
+            return
+        with open(path, "rb") as f:
+            raw = f.read()
+        if raw[:4] != _STATE_MAGIC:
+            raise ValueError(
+                f"{path} is not a versioned accumulator state file "
+                f"(missing {_STATE_MAGIC!r} header): it was written by a "
+                "pre-versioning release whose layout cannot be told apart "
+                "from a sketch payload. Delete the state file (and the "
+                "query's checkpointLocation) to restart the fold cleanly.")
+        version = raw[4]
+        if version != _STATE_VERSION:
+            raise ValueError(
+                f"{path} has state format v{version}; this release reads "
+                f"v{_STATE_VERSION}. Delete the state file to rebuild.")
+        self.n_rows = int.from_bytes(raw[5:13], "little")
+        self.last_batch_id = int.from_bytes(raw[13:21], "little",
+                                            signed=True)
+        self.sketch = sketch_from_bytes(raw[21:])
 
     def _persist(self) -> None:
         if not self.state_dir:
@@ -72,6 +91,8 @@ class StreamingSketchAccumulator:
         os.makedirs(self.state_dir, exist_ok=True)
         tmp = self._state_path() + ".tmp"
         with open(tmp, "wb") as f:
+            f.write(_STATE_MAGIC)
+            f.write(bytes([_STATE_VERSION]))
             f.write(self.n_rows.to_bytes(8, "little"))
             f.write(self.last_batch_id.to_bytes(8, "little", signed=True))
             f.write(self.sketch.to_bytes())

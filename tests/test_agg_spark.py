@@ -328,6 +328,60 @@ def test_sharded_remove_never_inserted_keys_is_safe(spark, events):
     shards2.unpersist()
 
 
+def test_sharded_duplicate_removals_decrement_once(spark, events):
+    """A removal feed carrying the same key twice (key inserted once)
+    must decrement ONCE: the membership check is re-evaluated per
+    removal instance against the already-decremented state, so the
+    duplicate fails the re-check instead of certainly dragging counters
+    shared with survivors below truth (deterministic false negatives)."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, probe_sharded,
+        remove_sharded)
+
+    keys = events.select("user_id").distinct().cache()
+    n = keys.count()
+    shards = build_sharded(keys, "user_id", n_shards=8,
+                           factory=counting_shard_factory(0.01)).cache()
+    shards.count()
+    gone = keys.where("user_id % 3 = 0").cache()
+    n_gone = gone.count()
+    shards2 = remove_sharded(gone.union(gone), "user_id", shards).cache()
+    # survivors never probe absent (pre-fix: thousands of double
+    # decrements zero shared counters deterministically)
+    survivors = keys.where("user_id % 3 <> 0")
+    assert probe_sharded(survivors, "user_id", shards2) \
+        .where(~F.col("seen")).count() == 0
+    # accounting: one removal per key; the duplicate's slack is bounded
+    # by the post-removal fp rate of the re-check, not certainty
+    total = sum(r["n_rows"] for r in shards2.collect())
+    over = (n - n_gone) - total
+    assert 0 <= over <= 0.05 * n_gone
+    keys.unpersist()
+    gone.unpersist()
+    shards.unpersist()
+    shards2.unpersist()
+
+
+def test_sharded_multiset_remove_twice_inserted(spark, events):
+    """Multiset semantics: a key inserted twice removes twice — the
+    per-instance re-check passes both times because the counters really
+    hold two copies."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, counting_shard_factory, remove_sharded)
+
+    keys = events.select("user_id").distinct().limit(2000).cache()
+    n = keys.count()
+    shards = build_sharded(keys.union(keys), "user_id", n_shards=4,
+                           factory=counting_shard_factory(0.01)).cache()
+    assert sum(r["n_rows"] for r in shards.collect()) == 2 * n
+    shards2 = remove_sharded(keys.union(keys), "user_id", shards).cache()
+    total = sum(r["n_rows"] for r in shards2.collect())
+    assert total == 0
+    keys.unpersist()
+    shards.unpersist()
+    shards2.unpersist()
+
+
 def test_sharded_empty_top_shard_routes_correctly(spark):
     """ADVICE r2 regression: the hash modulus must come from the shard
     table's n_shards column, NOT max(shard)+1 — with n_shards=64 and a

@@ -89,6 +89,31 @@ def test_streaming_accumulation(spark, tmp_path):
     assert acc2.n_rows == before + 1000
 
 
+def test_accumulator_state_is_versioned(tmp_path):
+    """A pre-versioning state file (no magic header) must fail LOUDLY:
+    its layout cannot be told apart from the v1 layout by content, so a
+    silent misparse would feed a mis-offset blob to sketch_from_bytes.
+    Unknown future versions are refused the same way."""
+    from bloom_filters_spark.streaming.accumulate import (
+        _STATE_MAGIC, _STATE_VERSION)
+
+    sk = HLLSketch(12)
+    sk.update_hashes(np.arange(100, dtype=np.int64))
+    legacy = ((100).to_bytes(8, "little")
+              + (3).to_bytes(8, "little", signed=True) + sk.to_bytes())
+    state = tmp_path / "acc_state"
+    state.mkdir()
+    (state / "sketch_state.bin").write_bytes(legacy)
+    with pytest.raises(ValueError, match="versioned"):
+        StreamingSketchAccumulator("user_id", lambda: HLLSketch(12),
+                                   state_dir=str(state))
+    future = _STATE_MAGIC + bytes([_STATE_VERSION + 1]) + legacy
+    (state / "sketch_state.bin").write_bytes(future)
+    with pytest.raises(ValueError, match="format v"):
+        StreamingSketchAccumulator("user_id", lambda: HLLSketch(12),
+                                   state_dir=str(state))
+
+
 def test_streaming_sharded_dedup(spark, tmp_path):
     """Online seen-before guard: across micro-batches no key is emitted
     twice (Bloom has no false negatives), and at most ~p of genuinely

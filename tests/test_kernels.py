@@ -401,6 +401,38 @@ def test_cuckoo_bank_fold_compactions_are_amortized(monkeypatch):
     assert len(merged.members) <= 2 * len(packed.members) + 1
 
 
+def test_cuckoo_bank_packed_len_survives_serialization(monkeypatch):
+    """Tree-merge partials cross every level as bytes: a deserialized
+    packed bank must keep _packed_len, or it re-compacts on every
+    subsequent merge (per-entry re-insert at each level — O(items×log P)
+    instead of the documented geometric amortization)."""
+    merged = None
+    for p in range(16):
+        b = CuckooBank.wrap(CuckooFilter(capacity=128))
+        b.update_hashes(rand_hashes(120, seed=700 + p))
+        merged = b if merged is None else merged.merge(b)
+    packed = merged.compacted()
+    assert packed._packed_len == len(packed.members) >= 8
+    rt = sketch_from_bytes(packed.to_bytes())
+    assert rt._packed_len == packed._packed_len
+
+    calls = {"n": 0}
+    orig = CuckooBank.compacted
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(CuckooBank, "compacted", counting)
+    # merging one fresh member into the round-tripped bank must NOT
+    # re-pack: len = packed_len + 1 < 2 × packed_len
+    small = CuckooBank.wrap(CuckooFilter(capacity=128))
+    small.update_hashes(rand_hashes(10, seed=999))
+    out = rt.merge(small)
+    assert calls["n"] == 0
+    assert len(out.members) == len(rt.members) + 1
+
+
 def test_cuckoo_bank_compaction_is_probe_equivalent_any_order():
     hs = [rand_hashes(500, seed=30 + i) for i in range(10)]
     banks = []
