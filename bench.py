@@ -296,12 +296,20 @@ def q_scan_prune(spark, sf_dir):
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         skp.stage_clustered(li, path, "l_orderkey", 64)
         idx = skp.build_scan_index(spark, path, "l_orderkey").persist()
-        _PRUNE_CACHE["staged"] = (path, idx, idx.count())
-    path, idx, n_files = _PRUNE_CACHE["staged"]
-    probes = (spark.read.parquet(f"{sf_dir}/orders.parquet")
-              .where("o_orderkey >= 123000 AND o_orderkey < 123024")
-              .select("o_orderkey")
-              .withColumnRenamed("o_orderkey", "l_orderkey"))
+        # probe window DERIVED from the data (24 consecutive existing
+        # orderkeys starting at the median) so the lookup matches rows
+        # at every tier — a hard-coded key range silently matched
+        # nothing at small sf and recorded a best-case prune factor
+        med = int(li.selectExpr(
+            "percentile_approx(l_orderkey, 0.5) AS m").first()["m"])
+        keys = [r["k"] for r in
+                (li.select(F.col("l_orderkey").alias("k"))
+                 .where(F.col("k") >= med)
+                 .distinct().orderBy("k").limit(24).collect())]
+        _PRUNE_CACHE["staged"] = (path, idx, idx.count(), keys)
+    path, idx, n_files, keys = _PRUNE_CACHE["staged"]
+    probes = spark.createDataFrame([(int(k),) for k in keys],
+                                   "l_orderkey long")
     t0 = time.time()
     pruned, stats = skp.pruned_lookup(spark, path, idx, probes,
                                       "l_orderkey", files_total=n_files)
@@ -313,6 +321,9 @@ def q_scan_prune(spark, sf_dir):
               .count())
     t_full = time.time() - t0
     assert n_pruned == n_full, (n_pruned, n_full)
+    # the probe window must actually match rows — a miss would make the
+    # prune factor below a fabricated best-case (0 files scanned)
+    assert n_pruned > 0, "probe key window matched no rows"
     assert stats["files_scanned"] <= 2, stats
     _PRUNE_CACHE["last_wall_ratio"] = round(
         t_full / max(t_pruned, 1e-9), 2)

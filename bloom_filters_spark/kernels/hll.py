@@ -118,17 +118,19 @@ class HLLSketch:
         best = np.zeros(uniq.size, dtype=np.uint8)
         np.maximum.at(best, inv, rho)
         d = self._sparse
-        if not d and uniq.size * _PROMOTE_DIV > self.m:
-            # big first batch: skip the dict entirely
-            self._dense = np.zeros(self.m, dtype=np.uint8)
-            self._dense[uniq] = best
-            self._sparse = None
+        if (len(d) + uniq.size) * _PROMOTE_DIV > self.m:
+            # this batch may cross the promote threshold: go dense FIRST
+            # so the fold is one vectorized np.maximum.at, never a
+            # per-item dict loop over a big batch (promoting a little
+            # early when keys overlap is free — the representation is
+            # invisible to every output)
+            self._promote()
+            np.maximum.at(self._dense, uniq, best)
             return
+        # small batch into a small dict: the loop is bounded by m/4 items
         for i, r in zip(uniq.tolist(), best.tolist()):
             if r > d.get(i, 0):
                 d[i] = r
-        if len(d) * _PROMOTE_DIV > self.m:
-            self._promote()
 
     def merge(self, other: "HLLSketch") -> "HLLSketch":
         assert self.p == other.p

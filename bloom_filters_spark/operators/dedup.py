@@ -122,14 +122,16 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(text-hash group, n_dups, min_id) for groups with >1 member.
-    Groups by the same 128-bit fingerprint as ``dedup_exact``;
-    ``text_hash`` exposes the primary half (stable identifier)."""
+    Groups by the same 128-bit fingerprint as ``dedup_exact`` and
+    exposes BOTH halves (``text_hash``, ``text_hash2``): at the design
+    scale where the 128-bit key exists (~10⁹⁺ docs, where 64-bit
+    collisions are expected), one half alone would conflate two
+    distinct groups for any consumer joining back on it."""
     h1, h2 = _text_fingerprint(text_col)
-    return (df.groupBy(h1.alias("text_hash"), h2.alias("__h2"))
+    return (df.groupBy(h1.alias("text_hash"), h2.alias("text_hash2"))
             .agg(F.count("*").alias("n_dups"),
                  F.min(id_col).alias("keep_id"))
-            .where("n_dups > 1")
-            .drop("__h2"))
+            .where("n_dups > 1"))
 
 
 # ------------------------------------------------------------ minhash lsh

@@ -139,12 +139,27 @@ def _index_over(df: DataFrame, key_col: str, fpp: float,
     # force Arrow to promote int columns to float64 (precision loss on
     # large int64 keys) and poison the native-typed zone map.
     key_type = df.schema[key_col].dataType.simpleString()
-    src = df.where(F.col(key_col).isNotNull()).select(
-        F.input_file_name().alias("file"),
-        F.col(key_col).alias("__k"),
-        hash_col(F.col(key_col), seed).alias("__h"))
-    return src.groupBy("file").applyInPandas(
+    named = df.select(F.input_file_name().alias("file"),
+                      F.col(key_col).alias("__k"))
+    src = named.where(F.col("__k").isNotNull()).select(
+        "file", "__k", hash_col(F.col("__k"), seed).alias("__h"))
+    idx = src.groupBy("file").applyInPandas(
         build_row, schema=_index_schema(key_type))
+    # a file whose keys are ALL NULL yields no group above — emit a
+    # sentinel row (n_rows=0, NULL bounds, empty Bloom) so the file
+    # counts as COVERED: extend_scan_index would otherwise classify it
+    # as new and re-scan it on every incremental call, and the prune
+    # paths skip it outright via n_rows > 0 (no probe can match NULL)
+    sentinel = BloomSketch.from_capacity(1, fpp).to_bytes()
+    empties = (named.groupBy("file")
+               .agg(F.count("__k").alias("__nn"))
+               .where("__nn = 0")
+               .select("file",
+                       F.lit(0).cast("long").alias("n_rows"),
+                       F.lit(None).cast(key_type).alias("min_key"),
+                       F.lit(None).cast(key_type).alias("max_key"),
+                       F.lit(sentinel).alias("payload")))
+    return idx.unionByName(empties)
 
 
 def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
@@ -178,10 +193,12 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
         return []
     hashes = np.array([r["__h"] for r in rows], dtype=np.int64)
 
-    # a NULL bound means the file contains NaN keys (see _index_over):
-    # keep the file for any probe on that side — conservative, so the
-    # no-false-negative contract holds; the Bloom sieve still prunes
-    zoned = index_df.join(
+    # a NULL bound on an n_rows > 0 file means it contains NaN keys
+    # (see _index_over): keep the file for any probe on that side —
+    # conservative, so the no-false-negative contract holds; the Bloom
+    # sieve still prunes. n_rows = 0 marks an all-NULL-key sentinel: no
+    # probe can ever match there, so it is excluded outright.
+    zoned = index_df.where(F.col("n_rows") > 0).join(
         probes,
         ((probes["__k"] >= index_df["min_key"])
          | index_df["min_key"].isNull())
@@ -246,9 +263,12 @@ def pruned_range_scan(spark: SparkSession, path: str, index_df: DataFrame,
     files makes the result bit-identical to the full scan.
     """
     full = spark.read.parquet(path)
-    # NULL bounds mark files containing NaN keys — kept conservatively
-    # (the residual row filter makes the result exact regardless)
-    pred = ((F.col("max_key") >= F.lit(lo)) | F.col("max_key").isNull()) \
+    # NULL bounds on an n_rows > 0 file mark NaN keys — kept
+    # conservatively (the residual row filter makes the result exact
+    # regardless); n_rows = 0 sentinels (all-NULL-key files) can never
+    # satisfy a range predicate and are excluded.
+    pred = (F.col("n_rows") > 0) \
+        & ((F.col("max_key") >= F.lit(lo)) | F.col("max_key").isNull()) \
         & ((F.col("min_key") <= F.lit(hi)) | F.col("min_key").isNull())
     files = [r["file"] for r in
              index_df.where(pred).select("file").collect()]

@@ -103,16 +103,18 @@ class StreamingSketchAccumulator:
             return          # at-least-once replay of an already-merged batch
         part, n = build_sketch(batch_df, self.col, self.factory,
                                value_based=self.value_based)
+        if n > 0:
+            self.sketch = (part if self.sketch is None
+                           else self.sketch.merge(part))
+            self.n_rows += n
+            self.n_batches += 1
+        # the replay cursor advances only AFTER the merge succeeded: if
+        # build/merge raises, Spark replays the batch and the cursor
+        # still points below it, so the retry is merged, not dropped
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
-        if n == 0:
-            if self.sketch is not None:
-                self._persist()     # still advance the replay cursor
-            return
-        self.sketch = part if self.sketch is None else self.sketch.merge(part)
-        self.n_rows += n
-        self.n_batches += 1
-        self._persist()
+        if self.sketch is not None:
+            self._persist()
 
 
 def run_stream_accumulation(stream_df: DataFrame, acc:

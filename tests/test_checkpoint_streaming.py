@@ -237,3 +237,31 @@ def test_iceberg_schema_contract(spark):
         with _pt.raises(RuntimeError, match="Iceberg runtime"):
             cp.SketchCheckpoint(spark, "/tmp/unused", n_shards=4,
                                 iceberg_table="default.nope")
+
+
+def test_failed_merge_does_not_advance_cursor(spark, tmp_path,
+                                              monkeypatch):
+    """The replay cursor must move only AFTER a batch's merge succeeds:
+    if the merge raises and Spark replays the batch, the retry must be
+    folded, not silently skipped as 'already merged'."""
+    acc = StreamingSketchAccumulator("user_id", lambda: HLLSketch(12),
+                                     state_dir=str(tmp_path / "st"))
+    b0 = spark.range(0, 500).select(F.col("id").alias("user_id"))
+    acc(b0, 0)
+    assert acc.last_batch_id == 0 and acc.n_rows == 500
+
+    class Boom(Exception):
+        pass
+
+    def boom(self, other):
+        raise Boom()
+
+    b1 = spark.range(500, 900).select(F.col("id").alias("user_id"))
+    with monkeypatch.context() as mp:
+        mp.setattr(HLLSketch, "merge", boom)
+        with pytest.raises(Boom):
+            acc(b1, 1)
+    assert acc.last_batch_id == 0          # cursor did NOT advance
+    assert acc.n_rows == 500
+    acc(b1, 1)                             # the replay folds normally
+    assert acc.last_batch_id == 1 and acc.n_rows == 900

@@ -688,3 +688,21 @@ def test_sparse_dense_merge_mix():
     one = BloomSketch(1 << 18, 5)
     one.update_hashes(np.concatenate([ha, hb]))
     assert (merged.bits == one.bits).all()
+
+
+def test_hll_big_batch_into_nonempty_sparse_promotes_vectorized():
+    """A batch that would push the sparse dict past the promote
+    threshold must promote BEFORE folding (one vectorized maximum.at,
+    no per-item loop) and stay bit-identical to a dense-start build."""
+    small = rand_hashes(10, seed=41)
+    big = rand_hashes(30_000, seed=42)           # >> m/4 = 1024 at p=12
+    s = HLLSketch(12)
+    s.update_hashes(small)
+    assert s.is_sparse
+    s.update_hashes(big)
+    assert not s.is_sparse                       # promoted on entry
+    d = HLLSketch(12, np.zeros(1 << 12, dtype=np.uint8))
+    d.update_hashes(small)
+    d.update_hashes(big)
+    assert s.to_bytes() == d.to_bytes()
+    assert s.estimate() == d.estimate()

@@ -256,3 +256,30 @@ def test_extend_scan_index_appends_only_delta(spark, tmp_path):
     assert stats["files_scanned"] == 2 and stats["files_total"] == 6
     # no-op when nothing new landed: same object back
     assert sk.extend_scan_index(spark, grown, path, "k") is grown
+
+
+def test_all_null_key_file_gets_sentinel_row(spark, tmp_path):
+    """A file whose keys are ALL NULL must still be covered by the
+    index (sentinel row, n_rows=0): without it, extend_scan_index
+    re-classifies the file as new and re-scans it on every incremental
+    call; and no prune path may ever scan it (NULL matches nothing)."""
+    path = str(tmp_path / "nulls")
+    (spark.createDataFrame([(1,), (2,), (3,)], "k long").coalesce(1)
+     .write.parquet(path))
+    (spark.createDataFrame([(None,), (None,)], "k long").coalesce(1)
+     .write.mode("append").parquet(path))
+    idx = sk.build_scan_index(spark, path, "k").persist()
+    rows = {r["n_rows"]: r for r in idx.collect()}
+    assert set(rows) == {3, 0}
+    sent = rows[0]
+    assert sent["min_key"] is None and sent["max_key"] is None
+    # covered: the incremental path is a no-op (same object back)
+    assert sk.extend_scan_index(spark, idx, path, "k") is idx
+    # the sentinel file is never scanned, results stay exact
+    got, stats = sk.pruned_lookup(spark, path, idx,
+                                  _probe_df(spark, [2, 99]), "k")
+    assert [r["k"] for r in got.collect()] == [2]
+    assert stats["files_scanned"] == 1
+    got, stats = sk.pruned_range_scan(spark, path, idx, "k", 0, 100)
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+    assert stats["files_scanned"] == 1

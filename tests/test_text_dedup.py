@@ -80,7 +80,12 @@ def test_dedup_exact(spark, dup_docs):
     assert kept.where("doc_id = 1").count() == 0  # keep-first: id 0 wins
     groups = exact_dup_groups(dup_docs)
     assert groups.count() == 1
-    assert groups.first()["n_dups"] == 2
+    first = groups.first()
+    assert first["n_dups"] == 2
+    # both fingerprint halves are exposed: one 64-bit half alone would
+    # conflate colliding groups at the ~10^9-doc design scale
+    assert {"text_hash", "text_hash2"} <= set(groups.columns)
+    assert first["text_hash2"] is not None
 
 
 def test_neardup_minhash_finds_planted(spark, dup_docs):
