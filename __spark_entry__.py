@@ -1008,12 +1008,32 @@ def q_sampling_splits(spark, sf_dir):
                    .where(samp1["event_id"].isNull()
                           | samp2["event_id"].isNull()).count() == 0)
     samp_frac_ok = abs(samp1.count() / total - 0.3) < 0.02
+    # weighted sampling (Efraimidis–Spirakis A-ES, weight = text
+    # length): the oracle RE-DERIVES the same content-addressed
+    # uniform (md5-based) in SQL and recomputes the exact top-k, so
+    # weighted_sum_ids is a strong value check, not a property bit
+    wdocs = (_t(spark, sf_dir, "documents")
+             .select("doc_id",
+                     F.greatest(F.length("text"), F.lit(1))
+                     .cast("double").alias("wt")))
+    w_ids = {r["doc_id"] for r in
+             sp.weighted_sample(wdocs, "doc_id", "wt", 50).collect()}
+    w2 = {r["doc_id"] for r in
+          sp.weighted_sample(wdocs.repartition(7), "doc_id", "wt", 50)
+          .collect()}
+    w3 = {r["doc_id"] for r in
+          sp.weighted_sample(wdocs.withColumn("wt", F.col("wt") * 1000.0),
+                             "doc_id", "wt", 50).collect()}
     return spark.createDataFrame(
         [(int(total), bool(parts_ok), bool(frac_ok), int(moved),
-          bool(samp_stable), bool(samp_frac_ok))],
+          bool(samp_stable), bool(samp_frac_ok),
+          int(len(w_ids)), int(sum(w_ids)),
+          bool(w2 == w_ids), bool(w3 == w_ids))],
         "n_total long, partitions_data boolean, fractions_ok boolean, "
         "keys_moved_on_relayout long, sample_stable boolean, "
-        "sample_fraction_ok boolean")
+        "sample_fraction_ok boolean, weighted_k long, "
+        "weighted_sum_ids long, weighted_stable boolean, "
+        "weighted_scale_invariant boolean")
 
 
 def q_stratified_take(spark, sf_dir):
@@ -1695,10 +1715,23 @@ def oracle_sql() -> dict[str, str]:
                   AS pruned_sum,
               TRUE AS files_skipped""",
         "sampling_splits":
+            # ws re-derives the A-ES draw EXACTLY: u from the first 52
+            # bits of md5(doc_id '#' seed), score = -ln(u)/weight, top
+            # 50 smallest — the same pure function of content the Spark
+            # operator computes (operators/sampling.weighted_sample)
+            "WITH ws AS (SELECT doc_id FROM ("
+            "  SELECT doc_id, -ln((('0x' || substr(md5(doc_id::VARCHAR"
+            "     || '#0'), 1, 13))::UBIGINT + 1) / 4503599627370496.0)"
+            "   / GREATEST(length(text), 1)::DOUBLE AS score"
+            "  FROM documents) ORDER BY score, doc_id LIMIT 50) "
             "SELECT (SELECT COUNT(*) FROM events) AS n_total, "
             "TRUE AS partitions_data, TRUE AS fractions_ok, "
             "CAST(0 AS BIGINT) AS keys_moved_on_relayout, "
-            "TRUE AS sample_stable, TRUE AS sample_fraction_ok",
+            "TRUE AS sample_stable, TRUE AS sample_fraction_ok, "
+            "(SELECT COUNT(*) FROM ws) AS weighted_k, "
+            "(SELECT CAST(SUM(doc_id) AS BIGINT) FROM ws) "
+            "  AS weighted_sum_ids, "
+            "TRUE AS weighted_stable, TRUE AS weighted_scale_invariant",
         "stratified_take":
             "SELECT lang, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS taken "
             "FROM documents GROUP BY lang ORDER BY lang",

@@ -18,6 +18,8 @@ from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     lsh_candidate_pairs, minhash_signatures, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
                     verify_jaccard)
+from .sampling import (deterministic_sample, hash_split, stratified_take,
+                       weighted_sample)
 from .relational import (count_nonempty, count_rows, distinct_count,
                          exact_membership, predecessor, sort_limit,
                          successor, top_k_by_count)
@@ -48,4 +50,6 @@ __all__ = [
     "pruned_range_scan",
     "quantile_boundaries", "boundaries_from_sketch", "with_range_bucket",
     "repartition_balanced", "partition_balance",
+    "hash_split", "deterministic_sample", "stratified_take",
+    "weighted_sample",
 ]

@@ -11,6 +11,9 @@ and what makes these operators exactly SQL-checkable.
 - ``deterministic_sample``: keep a uniform ~fraction of rows.
 - ``stratified_take``: exactly n rows per group, chosen by hash order
   (window rank over xxhash64 — a deterministic "random" n-per-group).
+- ``weighted_sample``: exactly k rows, weighted WITHOUT replacement
+  (Efraimidis–Spirakis A-ES with a content-addressed uniform draw) —
+  "sample the best documents proportionally to quality/length".
 """
 
 from __future__ import annotations
@@ -57,11 +60,53 @@ def deterministic_sample(df: DataFrame, key_col: str, fraction: float,
     return df.where(_bucket(key_col, seed) < int(fraction * _BUCKETS))
 
 
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int, *, seed: int = 0) -> DataFrame:
+    """Exactly ``min(k, n)`` rows, weighted WITHOUT replacement —
+    Efraimidis–Spirakis A-ES (2006): each key draws u ∈ (0, 1] and the
+    k LARGEST u^(1/w) win, equivalently the k smallest −ln(u)/w (an
+    Exp(rate=w) draw per row), which is the form used here.
+
+    The uniform draw is CONTENT-ADDRESSED like everything in this
+    module: u is built from the first 52 bits of md5(key "#" seed) —
+    52 so the integer is exact in a double — making membership a pure
+    function of (key, weight, seed): reproducible across layouts,
+    cluster sizes, and retries, and exactly recomputable by an
+    independent SQL engine (the DuckDB oracle re-derives the same u).
+
+    Scale shape: the scoring is pure JVM expression work and the
+    selection is ``orderBy(score).limit(k)`` — Spark plans a
+    per-partition top-k feeding one driver-side merge of P×k rows
+    (TakeOrderedAndProject), never a global sort.
+
+    Rows with NULL, NaN, or non-positive weight are excluded (zero
+    weight = never sampled, the A-ES limit; NaN would otherwise pass
+    Spark's ``> 0`` under its NaN-greatest ordering). Scaling every
+    weight by a constant leaves the selection unchanged (monotone
+    transform of the order). Score ties (e.g. two +inf weights, or a
+    52-bit u collision within a weight class at ~2^26-row scale) are
+    broken by the key so the selection stays layout-independent.
+    """
+    assert k > 0
+    assert "__ws" not in df.columns, "reserved column name __ws"
+    w = F.col(weight_col).cast("double")
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit(f"#{seed}"))), 1, 13),
+         16, 10).cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
+    score = -F.log(u) / w
+    return (df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+            .withColumn("__ws", score)
+            .orderBy("__ws", F.col(key_col)).limit(k)
+            .drop("__ws"))
+
+
 def stratified_take(df: DataFrame, group_cols: list[str], n: int, *,
                     key_col: str, seed: int = 0) -> DataFrame:
     """Exactly min(n, group size) rows per group, chosen by hash order
     of ``key_col`` — a deterministic per-group random sample (window
     rank over xxhash64; tie-broken by the key itself)."""
+    assert "__rk" not in df.columns, "reserved column name __rk"
     w = Window.partitionBy(*group_cols).orderBy(
         F.xxhash64(F.col(key_col), F.lit(seed)), F.col(key_col))
     return (df.withColumn("__rk", F.row_number().over(w))

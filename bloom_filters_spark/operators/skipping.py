@@ -57,6 +57,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 from ..kernels.bloom import BloomSketch
 from .agg import _cached_sketch, hash_col
@@ -179,19 +180,50 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
     superset of the files that actually contain matches. NULL probe
     keys are ignored (they can never match under SQL semantics).
     """
-    spark = index_df.sparkSession
+    rows, k_field = _collect_probes(probe_df, key_col, seed, max_probes)
+    if not rows:
+        return []
+    return _candidate_files(index_df, rows, k_field)
+
+
+def _collect_probes(probe_df: DataFrame, key_col: str, seed: int,
+                    max_probes: int):
+    """Collect the distinct non-NULL probe (key, hash) rows once — one
+    job serves the size guard, the probe hashes, the zone join's local
+    relation, AND the key-range residual pushed into the data scan."""
     probes = (probe_df.select(F.col(key_col).alias("__k"))
               .where(F.col("__k").isNotNull()).distinct())
-    # one collect serves both the size guard and the probe hashes
     rows = (probes.select("__k", hash_col(F.col("__k"), seed).alias("__h"))
             .limit(max_probes + 1).collect())
     if len(rows) > max_probes:
         raise ValueError(
             f"prune_files is the point-lookup path (<= {max_probes} "
             "probe keys); for large probe sets use bloom_semijoin")
-    if not rows:
-        return []
+    return rows, probes.schema["__k"]
+
+
+def _probe_bounds(rows):
+    """(lo, hi, has_nan) over the collected probe keys — NaN floats are
+    split out (python min/max would propagate them unpredictably; under
+    Spark's total order a NaN key is matchable and greatest)."""
+    ks = [r["__k"] for r in rows]
+    nan = [k for k in ks if isinstance(k, float) and k != k]
+    fin = [k for k in ks if not (isinstance(k, float) and k != k)]
+    return ((min(fin) if fin else None),
+            (max(fin) if fin else None), bool(nan))
+
+
+def _candidate_files(index_df, rows, k_field) -> list[str]:
+    spark = index_df.sparkSession
     hashes = np.array([r["__h"] for r in rows], dtype=np.int64)
+
+    # rebuild the probe relation from the ALREADY-COLLECTED keys: the
+    # zone join below must never re-run the caller's probe subtree
+    # (often a filter over a large table — arbitrarily expensive to
+    # evaluate twice). collect → createDataFrame is value-faithful for
+    # every supported key type, and ≤ max_probes rows by contract.
+    local = spark.createDataFrame([(r["__k"],) for r in rows],
+                                  schema=StructType([k_field]))
 
     # a NULL bound on an n_rows > 0 file means it contains NaN keys
     # (see _index_over): keep the file for any probe on that side —
@@ -199,10 +231,10 @@ def prune_files(index_df: DataFrame, probe_df: DataFrame, key_col: str, *,
     # sieve still prunes. n_rows = 0 marks an all-NULL-key sentinel: no
     # probe can ever match there, so it is excluded outright.
     zoned = index_df.where(F.col("n_rows") > 0).join(
-        probes,
-        ((probes["__k"] >= index_df["min_key"])
+        local,
+        ((local["__k"] >= index_df["min_key"])
          | index_df["min_key"].isNull())
-        & ((probes["__k"] <= index_df["max_key"])
+        & ((local["__k"] <= index_df["max_key"])
            | index_df["max_key"].isNull()),
         "left_semi")
 
@@ -232,9 +264,21 @@ def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
     ``files_total`` / ``files_scanned`` — the skipping win itself.
     Pass ``files_total`` (one row per file, so ``index_df.count()``) to
     skip the stats-only count job on repeated lookups.
+
+    Inside the candidate files, the probe keys' [min, max] range is
+    pushed into the parquet scan as a residual predicate (PushedFilters
+    in the plan): a 256 MB candidate file's row groups outside the
+    probe span are skipped by parquet min/max statistics — the
+    file-level index prunes FILES, the pushed range prunes ROW GROUPS
+    within the survivors. Both filters keep a superset of the matches
+    (NaN probe keys widen the residual), so the final broadcast semi
+    join keeps the result exact. The probe keys are collected ONCE and
+    reused for the zone join, the Bloom hashes, the residual bounds,
+    and the final join's build side — the caller's probe subtree (often
+    a filter over a large table) is never evaluated twice.
     """
-    files = prune_files(index_df, probe_df, key_col,
-                        seed=seed, max_probes=max_probes)
+    rows, k_field = _collect_probes(probe_df, key_col, seed, max_probes)
+    files = _candidate_files(index_df, rows, k_field) if rows else []
     if files_total is None:
         files_total = index_df.select("file").distinct().count()
     full = spark.read.parquet(path)
@@ -242,8 +286,22 @@ def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,
         return full.where(F.lit(False)), {
             "files_total": files_total, "files_scanned": 0}
     scanned = spark.read.schema(full.schema).parquet(*files)
-    probes = probe_df.select(F.col(key_col).alias(key_col)).distinct()
-    result = scanned.join(F.broadcast(probes), on=key_col, how="left_semi")
+    lo, hi, has_nan = _probe_bounds(rows)
+    rng = None
+    if lo is not None:
+        # literals cast to the key's EXACT type (e.g. timestamp_ntz)
+        # so the comparison stays native and parquet-pushable
+        rng = F.col(key_col).between(F.lit(lo).cast(k_field.dataType),
+                                     F.lit(hi).cast(k_field.dataType))
+    if has_nan:
+        nan_pred = F.isnan(F.col(key_col))
+        rng = nan_pred if rng is None else (rng | nan_pred)
+    if rng is not None:
+        scanned = scanned.where(rng)
+    local = spark.createDataFrame(
+        [(r["__k"],) for r in rows],
+        schema=StructType([k_field])).withColumnRenamed("__k", key_col)
+    result = scanned.join(F.broadcast(local), on=key_col, how="left_semi")
     return result, {"files_total": files_total,
                     "files_scanned": len(files)}
 

@@ -283,3 +283,17 @@ def test_all_null_key_file_gets_sentinel_row(spark, tmp_path):
     got, stats = sk.pruned_range_scan(spark, path, idx, "k", 0, 100)
     assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
     assert stats["files_scanned"] == 1
+
+
+def test_pruned_lookup_pushes_probe_range_into_scan(spark, staged):
+    """The probe keys' [min, max] must reach the candidate-file scan as
+    parquet PushedFilters: files are pruned by the index, row groups
+    WITHIN surviving files by the pushed range — the second half of the
+    skipping win at 256MB-file scale."""
+    path, idx = staged
+    got, _ = sk.pruned_lookup(spark, path, idx,
+                              _probe_df(spark, [700, 707, 714]), "k")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(k,700)" in plan, plan
+    assert "LessThanOrEqual(k,714)" in plan, plan
+    assert sorted(r["k"] for r in got.collect()) == [700, 707, 714]

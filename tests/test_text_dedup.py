@@ -392,3 +392,68 @@ def test_ivf_quantizer_sample_layout_independent(spark):
     r_sorted, r_random = recall(sorted_corpus), recall(random_corpus)
     assert r_sorted >= 0.8, r_sorted
     assert r_sorted >= r_random - 0.05, (r_sorted, r_random)
+
+
+def test_weighted_sample(spark):
+    """A-ES weighted sampling: exactly k rows, membership a pure
+    function of (key, weight, seed), invariant to layout and to
+    scaling all weights, bias toward heavy rows, and the u-draw
+    matches an independent recomputation (the oracle's formula)."""
+    import math
+
+    from bloom_filters_spark.operators import sampling as sp
+
+    df = spark.range(2_000).select(
+        F.col("id").alias("k"),
+        # two weight classes: ids < 200 are 20x heavier
+        F.when(F.col("id") < 200, 20.0).otherwise(1.0).alias("w"))
+    s1 = {r["k"] for r in sp.weighted_sample(df, "k", "w", 300).collect()}
+    assert len(s1) == 300
+    # layout-independent
+    s2 = {r["k"] for r in
+          sp.weighted_sample(df.repartition(11), "k", "w", 300).collect()}
+    assert s2 == s1
+    # scaling every weight by a constant leaves the selection unchanged
+    s3 = {r["k"] for r in
+          sp.weighted_sample(df.withColumn("w", F.col("w") * 1000.0),
+                             "k", "w", 300).collect()}
+    assert s3 == s1
+    # heavy rows (10% of keys, 20x weight) must dominate the sample:
+    # expected inclusion ~100% for heavy vs ~12% for light
+    heavy = sum(1 for k in s1 if k < 200)
+    assert heavy > 150, heavy
+    # different seed → different selection (not degenerate)
+    s4 = {r["k"] for r in
+          sp.weighted_sample(df, "k", "w", 300, seed=7).collect()}
+    assert s4 != s1
+    # zero / NULL / NaN weights are excluded outright (NaN would pass
+    # Spark's `> 0` under its NaN-greatest total order)
+    z = spark.createDataFrame(
+        [(1, 0.0), (2, None), (3, 2.0), (4, float("nan"))],
+        "k long, w double")
+    assert [r["k"] for r in
+            sp.weighted_sample(z, "k", "w", 10).collect()] == [3]
+    # score ties (two +inf weights both score 0.0) break by key:
+    # layout-independent and deterministic
+    t = spark.createDataFrame(
+        [(9, float("inf")), (5, float("inf")), (1, 1.0)],
+        "k long, w double")
+    assert [r["k"] for r in
+            sp.weighted_sample(t, "k", "w", 1).collect()] == [5]
+    assert [r["k"] for r in
+            sp.weighted_sample(t.repartition(3), "k", "w", 1)
+            .collect()] == [5]
+    # n < k: every positive-weight row survives
+    assert len(sp.weighted_sample(df, "k", "w", 10**6).collect()) == 2_000
+    # the content-addressed draw matches an independent recomputation
+    # (hashlib md5, the same formula the DuckDB oracle runs)
+    import hashlib
+    rows = (sp.weighted_sample(df, "k", "w", 5)
+            .withColumn("u", (F.conv(F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit("#0"))),
+                1, 13), 16, 10).cast("double") + 1.0) / float(1 << 52))
+            .collect())
+    for r in rows:
+        h = hashlib.md5(f"{r['k']}#0".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / float(1 << 52)
+        assert math.isclose(r["u"], u, rel_tol=0, abs_tol=0)
