@@ -314,11 +314,28 @@ def q_bloom_contract(spark, sf_dir):
     m_expect = optimal_m(n, p)
     size_ok = (sk.m == m_expect and sk.k == optimal_k(m_expect, n)
                and sk.size_bytes == (m_expect + 7) // 8)
+    # H6 (Kirsch–Mitzenmacher family, the documented std::hash+i
+    # upgrade): the DISTRIBUTED probe-index arrays must equal the
+    # kernel formula h_i = (h1 + i·h2) mod m recomputed driver-side
+    # from the same xxhash64 values (DynamicBloomFilter.hpp:88-94)
+    from bloom_filters_spark.kernels.hashing import km_indices
+    sample = orders.distinct().limit(64).select("o_orderkey")
+    got = {r["h"]: list(r["indices"]) for r in
+           probe_indices(sample, "o_orderkey", sk.k, sk.m).collect()}
+    km_ok = True
+    hs64 = [r["h"] for r in
+            sample.select(hash_col(F.col("o_orderkey")).alias("h"))
+            .collect()]
+    for h in hs64:
+        expect = km_indices(np.array([h], dtype=np.int64),
+                            sk.k, sk.m)[0].tolist()
+        if got.get(h) != expect:
+            km_ok = False
     return spark.createDataFrame(
         [(int(fn), 20_000, bool(fp / 20_000 <= 2 * p),
-          int(bad_idx), bool(size_ok))],
+          int(bad_idx), bool(size_ok), bool(km_ok))],
         "false_negatives long, n_probes long, fpr_ok boolean, "
-        "bad_probe_indices long, sizing_ok boolean")
+        "bad_probe_indices long, sizing_ok boolean, km_family_ok boolean")
 
 
 def q_hll_bounds(spark, sf_dir):
@@ -376,16 +393,39 @@ def q_hll_by_lang(spark, sf_dir):
 
 def q_cms_no_underestimate(spark, sf_dir):
     """Count-min NEVER underestimates (deterministic): violations = 0
-    over the top-50 exact token counts."""
+    over the top-50 exact token counts. Same row also checks the CMS
+    inner-product JOIN-SIZE estimator (operators/joins.py
+    estimate_join_size — the broadcast-planning primitive): the
+    estimate must bracket the exact |orders ⋈ lineitem| from above
+    (a·b ≤ est, C&M 2005 §4.2) within the ε·|A|·|B| slack; the exact
+    join count itself is the strong SQL value check."""
     docs = _t(spark, sf_dir, "documents")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
     cms, total = build_sketch(toks, "token",
                               lambda: CountMinSketch(5, 1 << 14))
     top = rel.top_k_by_count(toks, "token", 50)
     est = cms_lookup(top, "token", cms, out_col="cms_estimate")
-    return est.agg(
+    from bloom_filters_spark.operators.joins import estimate_join_size
+    js = estimate_join_size(
+        _t(spark, sf_dir, "orders").select("o_orderkey")
+        .withColumnRenamed("o_orderkey", "k"),
+        "k",
+        _t(spark, sf_dir, "lineitem").select("l_orderkey")
+        .withColumnRenamed("l_orderkey", "k"),
+        "k", eps=1e-4, delta=0.01)
+    exact_join = (_t(spark, sf_dir, "orders")
+                  .join(_t(spark, sf_dir, "lineitem"),
+                        F.col("o_orderkey") == F.col("l_orderkey"))
+                  .count())
+    row = est.agg(
         F.sum(F.when(F.col("cms_estimate") < F.col("cnt"), 1).otherwise(0))
         .cast("long").alias("violations"))
+    return row.select(
+        "violations",
+        F.lit(int(exact_join)).cast("long").alias("exact_join_rows"),
+        F.lit(bool(js["estimate"] >= exact_join)).alias("join_no_under"),
+        F.lit(bool(js["estimate"] <= exact_join + js["bound_slack"]))
+        .alias("join_within_bound"))
 
 
 def q_heavy_hitters_mg(spark, sf_dir):
@@ -553,9 +593,16 @@ def q_cuckoo_contract(spark, sf_dir):
     insert_misses = int((~cf.contains_hashes(hs)).sum())
     cf.remove_hashes(hs[:500])
     survivors_missing = int((~cf.contains_hashes(hs[500:])).sum())
+    # K14 (CuckooNonProbability.hpp:57-139 contract): a removed key
+    # stops answering "present" — up to fingerprint-collision FPs,
+    # bounded like sharded_delete's check (≤ 2% of removals)
+    removed_found = int(cf.contains_hashes(hs[:500]).sum())
+    removed_absent_ok = removed_found <= 10
     return spark.createDataFrame(
-        [(int(bank_misses), insert_misses, survivors_missing)],
-        "bank_misses long, insert_misses long, survivors_missing long")
+        [(int(bank_misses), insert_misses, survivors_missing,
+          bool(removed_absent_ok))],
+        "bank_misses long, insert_misses long, survivors_missing long, "
+        "removed_absent_ok boolean")
 
 
 def q_sharded_bloom(spark, sf_dir):
@@ -1546,7 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contract":
             "SELECT CAST(0 AS BIGINT) AS false_negatives, "
             "CAST(20000 AS BIGINT) AS n_probes, TRUE AS fpr_ok, "
-            "CAST(0 AS BIGINT) AS bad_probe_indices, TRUE AS sizing_ok",
+            "CAST(0 AS BIGINT) AS bad_probe_indices, TRUE AS sizing_ok, "
+            "TRUE AS km_family_ok",
         "hll_bounds":
             "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, "
             "TRUE AS within_bound, TRUE AS byte_identical, "
@@ -1565,7 +1613,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, "
             "TRUE AS within_bound FROM documents GROUP BY lang",
         "cms_no_underestimate":
-            "SELECT CAST(0 AS BIGINT) AS violations",
+            # exact_join_rows is the strong value check for the CMS
+            # inner-product join-size estimator's bracketing booleans
+            "SELECT CAST(0 AS BIGINT) AS violations, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders "
+            " JOIN lineitem ON o_orderkey = l_orderkey) "
+            "  AS exact_join_rows, "
+            "TRUE AS join_no_under, TRUE AS join_within_bound",
         "heavy_hitters_mg":
             f"""WITH tok AS (SELECT unnest({toks}) AS token
                              FROM documents),
@@ -1600,7 +1654,8 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_contract":
             "SELECT CAST(0 AS BIGINT) AS bank_misses, "
             "CAST(0 AS BIGINT) AS insert_misses, "
-            "CAST(0 AS BIGINT) AS survivors_missing",
+            "CAST(0 AS BIGINT) AS survivors_missing, "
+            "TRUE AS removed_absent_ok",
         "sharded_bloom":
             "SELECT CAST(1 AS BIGINT) AS all_shards_built, "
             "CAST(0 AS BIGINT) AS false_negatives, TRUE AS fpr_ok",

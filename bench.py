@@ -300,8 +300,12 @@ def q_scan_prune(spark, sf_dir):
         # orderkeys starting at the median) so the lookup matches rows
         # at every tier — a hard-coded key range silently matched
         # nothing at small sf and recorded a best-case prune factor
+        # 0.47, not 0.5: stage_clustered's repartitionByRange cuts at
+        # equal-frequency quantiles (multiples of 1/n_files), so a
+        # window STARTING at the exact median straddles two files — a
+        # staging artifact, not a skipping property. 0.47 is mid-file.
         med = int(li.selectExpr(
-            "percentile_approx(l_orderkey, 0.5) AS m").first()["m"])
+            "percentile_approx(l_orderkey, 0.47) AS m").first()["m"])
         keys = [r["k"] for r in
                 (li.select(F.col("l_orderkey").alias("k"))
                  .where(F.col("k") >= med)

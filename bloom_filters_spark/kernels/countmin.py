@@ -81,6 +81,19 @@ class CountMinSketch:
                               self.table + other.table,
                               self.total + other.total)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate (Cormode & Muthukrishnan
+        2005 §4.2): for frequency vectors a, b sketched with the SAME
+        (depth, width, hash family — guaranteed here by the shared
+        Kirsch–Mitzenmacher derivation), min over rows of the row dot
+        products satisfies  a·b ≤ est  and
+        P[est > a·b + ε·‖a‖₁·‖b‖₁] ≤ δ.  a·b IS |A ⋈ B| when a and b
+        are the key-frequency vectors of the two join sides — the
+        classic sketch answer to "how big is this join / can I
+        broadcast the result"."""
+        assert (self.depth, self.width) == (other.depth, other.width)
+        return int((self.table * other.table).sum(axis=1).min())
+
     @property
     def size_bytes(self) -> int:
         return int(self.table.nbytes)

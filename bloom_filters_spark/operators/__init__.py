@@ -6,7 +6,7 @@ from .collisions import (absolute_collisions, collision_sweep_k,
                          relative_collisions)
 from .frequent import (heavy_hitters, heavy_hitters_by_group,
                        mg_lookup)
-from .joins import bloom_antijoin, bloom_semijoin
+from .joins import bloom_antijoin, bloom_semijoin, estimate_join_size
 from .partitioning import (boundaries_from_sketch, partition_balance,
                            quantile_boundaries, repartition_balanced,
                            with_range_bucket)
@@ -42,7 +42,8 @@ __all__ = [
     "exact_membership",
     "probe_indices", "relative_collisions", "absolute_collisions",
     "collision_sweep_k", "collision_sweep_m",
-    "bloom_semijoin", "bloom_antijoin", "heavy_hitters",
+    "bloom_semijoin", "bloom_antijoin", "estimate_join_size",
+    "heavy_hitters",
     "heavy_hitters_by_group", "mg_lookup",
     "build_ibf_shards", "ibf_diff_shards", "reconcile_keys",
     "stage_clustered", "build_scan_index", "build_scan_index_for_files",

@@ -27,6 +27,8 @@ build itself never shuffles the small side's rows).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels import BloomSketch
@@ -97,3 +99,44 @@ def bloom_antijoin(big: DataFrame, small: DataFrame, key_big: str,
         small.select(F.col(key_small).alias(key_big)).distinct(),
         on=key_big, how="left_anti")
     return certain_miss.unionByName(survivors)
+
+
+def estimate_join_size(left: DataFrame, key_left: str,
+                       right: DataFrame, key_right: str, *,
+                       eps: float = 1e-3, delta: float = 0.01,
+                       seed: int = 0) -> dict:
+    """Sketch-based equi-join cardinality estimate — the planner
+    primitive behind "how big is A ⋈ B / can the result broadcast",
+    answered WITHOUT running the join.
+
+    Each side is scanned ONCE into a count-min sketch of its key
+    frequencies (partial→tree merge, only sketch matrices shuffle);
+    the estimate is the CMS inner product (Cormode & Muthukrishnan
+    2005 §4.2): for key-frequency vectors a, b
+
+        |A ⋈ B| = a·b ≤ estimate,
+        P[estimate > a·b + ε·|A|·|B|] ≤ δ.
+
+    Never underestimates — safe for "skip the broadcast if the
+    estimate is too big" decisions (the failure mode of
+    UNDER-estimation, a broadcast OOM, cannot happen). At 100 TB the
+    two scans are map-only with a KB-scale merge; no shuffle of either
+    table and no join execution.
+
+    Returns ``{"estimate": int, "bound_slack": int, "n_left": int,
+    "n_right": int, "eps": float, "delta": float}`` where
+    ``bound_slack`` = ε·|A|·|B| (the additive error budget at
+    confidence 1−δ).
+    """
+    from ..kernels.countmin import CountMinSketch
+
+    factory = lambda: CountMinSketch.from_error(eps, delta)  # noqa: E731
+    sa, na = build_sketch(left.select(key_left), key_left, factory,
+                          seed=seed)
+    sb, nb = build_sketch(right.select(key_right), key_right, factory,
+                          seed=seed)
+    est = sa.inner_product(sb)
+    return {"estimate": int(est),
+            "bound_slack": int(math.ceil(sa.eps * na * nb)),
+            "n_left": int(na), "n_right": int(nb),
+            "eps": sa.eps, "delta": sa.delta}

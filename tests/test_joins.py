@@ -87,3 +87,23 @@ def test_prefilter_drops_nonmatches_before_join(spark, sides):
     passed = probe_membership(big, "k", sk).where("seen").count()
     # 200 true matches + fpr*9800 false positives; fpr ≤ ~2.5x design p
     assert passed < 200 + 0.025 * 9_800
+
+
+def test_estimate_join_size_brackets_exact(spark):
+    """CMS inner-product join-size estimate: never below the exact
+    |A ⋈ B|, within the ε·|A|·|B| slack, and multiplicity-aware
+    (a key appearing a times left and b times right contributes a·b)."""
+    from bloom_filters_spark.operators.joins import estimate_join_size
+
+    left = spark.range(0, 3000).select((F.col("id") % 600).alias("k"))
+    right = spark.range(0, 2000).select((F.col("id") % 500).alias("k"))
+    exact = left.join(right, "k").count()
+    js = estimate_join_size(left, "k", right, "k", eps=1e-4)
+    assert js["n_left"] == 3000 and js["n_right"] == 2000
+    assert js["estimate"] >= exact
+    assert js["estimate"] <= exact + js["bound_slack"]
+    # disjoint key ranges -> estimate collapses toward zero (only hash
+    # collisions contribute), far below any real overlap
+    far = spark.range(10**9, 10**9 + 2000).select(F.col("id").alias("k"))
+    js0 = estimate_join_size(left, "k", far, "k", eps=1e-4)
+    assert js0["estimate"] <= js0["bound_slack"]

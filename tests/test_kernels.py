@@ -706,3 +706,33 @@ def test_hll_big_batch_into_nonempty_sparse_promotes_vectorized():
     d.update_hashes(big)
     assert s.to_bytes() == d.to_bytes()
     assert s.estimate() == d.estimate()
+
+
+def test_cms_inner_product_join_size():
+    """CMS inner product (C&M 2005 §4.2): never below the exact
+    frequency-vector dot product, within eps*N1*N2, merge-consistent."""
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 500, 3000)          # multiplicities vary
+    b_keys = rng.integers(0, 400, 2000)
+    ha = rand_hashes(500, seed=5)                # hash per key id
+    hb = ha                                      # same key space
+    ca, cb = np.bincount(a_keys, minlength=500), \
+        np.bincount(b_keys, minlength=500)[:500]
+    exact = int((ca * np.pad(cb, (0, 500 - cb.size))).sum())
+    sa = CountMinSketch(5, 1 << 13)
+    sb = CountMinSketch(5, 1 << 13)
+    sa.update_hashes(ha[a_keys])
+    sb.update_hashes(hb[b_keys])
+    est = sa.inner_product(sb)
+    assert est >= exact
+    assert est <= exact + sa.eps * sa.total * sb.total
+    # merge-consistency: partial builds merged == one build, same est
+    s1, s2 = CountMinSketch(5, 1 << 13), CountMinSketch(5, 1 << 13)
+    s1.update_hashes(ha[a_keys[:1500]])
+    s2.update_hashes(ha[a_keys[1500:]])
+    assert s1.merge(s2).inner_product(sb) == est
+    # disjoint key spaces: only collisions contribute
+    hd = rand_hashes(400, seed=99)
+    sd = CountMinSketch(5, 1 << 13)
+    sd.update_hashes(hd[b_keys])
+    assert sa.inner_product(sd) <= sa.eps * sa.total * sd.total
