@@ -28,6 +28,7 @@ from .hashing import splitmix64, to_u64
 _U64 = np.uint64
 _SLOTS = 4
 _MAX_KICKS = 500  # parity: Bloom_project/src/core/CuckooFilter.hpp:183
+_MAX_STASH = 8    # homeless victims parked before "full" raises
 
 
 def _fingerprints(h: np.ndarray) -> np.ndarray:
@@ -39,7 +40,7 @@ def _fingerprints(h: np.ndarray) -> np.ndarray:
 
 @register("cuckoo")
 class CuckooFilter:
-    __slots__ = ("nbuckets", "table", "n_items", "_rng_state")
+    __slots__ = ("nbuckets", "table", "n_items", "_rng_state", "stash")
 
     def __init__(self, capacity: int = 1024, table: np.ndarray | None = None,
                  n_items: int = 0):
@@ -52,6 +53,12 @@ class CuckooFilter:
             self.table = np.zeros((self.nbuckets, _SLOTS), dtype=np.uint16)
         self.n_items = int(n_items)
         self._rng_state = _U64(0x6A09E667F3BCC908)
+        # homeless victims from exhausted kick chains: a kick chain that
+        # hits the bound has ALREADY swapped the new fp in and popped a
+        # victim out — parking the victim here keeps every inserted key
+        # answering "present" (the no-false-negatives contract) even on
+        # the failure path, instead of corrupting the filter mid-raise
+        self.stash: list[tuple[int, int]] = []
 
     # -- bucket derivation -------------------------------------------------
     def _b1(self, h: np.ndarray) -> np.ndarray:
@@ -99,8 +106,20 @@ class CuckooFilter:
         return (b, int(cur))
 
     def _insert_one(self, b1: int, fp: int) -> bool:
-        if self._insert_or_evict(b1, fp) is not None:
-            raise RuntimeError("cuckoo filter full (max kicks exceeded)")
+        homeless = self._insert_or_evict(b1, fp)
+        if homeless is not None:
+            # complete the insert by parking the victim: the filter
+            # stays consistent whether or not the caller catches the
+            # raise below (a mid-eviction raise would otherwise leave a
+            # previously-inserted key answering "absent")
+            self.stash.append((int(homeless[0]), int(homeless[1])))
+            self.n_items += 1
+            if len(self.stash) > _MAX_STASH:
+                raise RuntimeError(
+                    "cuckoo filter full (max kicks exceeded, stash "
+                    "exhausted) — rebuild with a larger capacity; the "
+                    "filter remains consistent: every inserted key "
+                    "still answers present")
         return True
 
     # -- batch API (hash prep vectorized; placement loop per item) ----------
@@ -120,7 +139,10 @@ class CuckooFilter:
         b2 = self._alt(b1, fps)
         in1 = (self.table[b1] == fps[:, None]).any(axis=1)
         in2 = (self.table[b2] == fps[:, None]).any(axis=1)
-        return in1 | in2
+        out = in1 | in2
+        for sb, sfp in self.stash:
+            out |= (fps == np.uint16(sfp)) & ((b1 == sb) | (b2 == sb))
+        return out
 
     def remove_hashes(self, h1) -> np.ndarray:
         """Remove one fingerprint copy per item; returns per-item success
@@ -138,6 +160,14 @@ class CuckooFilter:
                     self.n_items -= 1
                     out[i] = True
                     break
+            if not out[i]:
+                for j, (sb, sfp) in enumerate(self.stash):
+                    if sfp == int(fps[i]) and sb in (int(b1[i]),
+                                                     int(b2[i])):
+                        del self.stash[j]
+                        self.n_items -= 1
+                        out[i] = True
+                        break
         return out
 
     @property
@@ -149,11 +179,22 @@ class CuckooFilter:
         return int(self.table.nbytes)
 
     def to_bytes(self) -> bytes:
+        # the stash buffer is emitted ONLY when occupied, so every
+        # pre-stash payload (and every healthy filter) stays
+        # byte-identical to the previous wire format
+        if self.stash:
+            st = np.array(self.stash, dtype=np.int64)
+            return pack("cuckoo", {"n": self.n_items, "stash": 1},
+                        self.table, st)
         return pack("cuckoo", {"n": self.n_items}, self.table)
 
     @classmethod
     def _from_state(cls, params, bufs):
-        return cls(table=bufs[0].reshape(-1, _SLOTS), n_items=params["n"])
+        cf = cls(table=bufs[0].reshape(-1, _SLOTS), n_items=params["n"])
+        if params.get("stash"):
+            cf.stash = [(int(b), int(fp))
+                        for b, fp in bufs[1].reshape(-1, 2)]
+        return cf
 
 
 @register("cuckoo_bank")
@@ -259,7 +300,9 @@ class CuckooBank:
             for m in group:
                 bs, ss = np.nonzero(m.table)
                 fps = m.table[bs, ss]
-                for b, fp in zip(bs.tolist(), fps.tolist()):
+                # stash entries are live members too: a repack that read
+                # only the table would drop them (false negatives)
+                for b, fp in list(zip(bs.tolist(), fps.tolist())) + m.stash:
                     homeless = cur._insert_or_evict(int(b), int(fp))
                     if homeless is not None:
                         hb, hfp = homeless

@@ -86,13 +86,31 @@ def _partial_builder(factory: Callable, value_based: bool):
     return build
 
 
+def fold_payloads(payloads, counts=None):
+    """Left-to-right merge of serialized sketch payloads → (sketch, n).
+
+    THE payload fold every merge closure uses (partial merges, grouped
+    merges, shard merges, reconcile shard folds) — one definition so a
+    fix to the fold semantics lands everywhere. Left-to-right order is
+    part of the contract: ordered folds keep the byte-identity
+    guarantees the resume/merge tests pin."""
+    sk, n = None, 0
+    for i, payload in enumerate(payloads):
+        part = sketch_from_bytes(bytes(payload))
+        sk = part if sk is None else sk.merge(part)
+        if counts is not None:
+            n += int(counts[i])
+    return sk, n
+
+
 def _merge_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     sk, n = None, 0
     for pdf in batches:
-        for payload, rows in zip(pdf["payload"], pdf["n_rows"]):
-            part = sketch_from_bytes(bytes(payload))
+        part, pn = fold_payloads(list(pdf["payload"]),
+                                 list(pdf["n_rows"]))
+        if part is not None:
             sk = part if sk is None else sk.merge(part)
-            n += int(rows)
+            n += pn
     if sk is not None:
         yield pd.DataFrame({"payload": [sk.to_bytes()], "n_rows": [n]})
 
@@ -206,11 +224,7 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
     partials = sel.mapInPandas(build, schema=out_schema)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk, n = None, 0
-        for payload, rows in zip(pdf["payload"], pdf["n_rows"]):
-            part = sketch_from_bytes(bytes(payload))
-            sk = part if sk is None else sk.merge(part)
-            n += int(rows)
+        sk, n = fold_payloads(list(pdf["payload"]), list(pdf["n_rows"]))
         out = {g: [pdf[g].iloc[0]] for g in gcols}
         out["payload"] = [sk.to_bytes()]
         out["n_rows"] = [n]
@@ -252,6 +266,32 @@ def _cached_sketch(payload: bytes):
     return sk
 
 
+_DRIVER_BCAST: OrderedDict = OrderedDict()
+_DRIVER_BCAST_MAX = 16
+
+
+def _broadcast_payload(spark, payload: bytes):
+    """Driver-side LRU over sketch broadcasts: repeated probes of the
+    SAME sketch (per-partition lookups in a loop, bench reps,
+    long-lived pipelines) reuse one broadcast instead of pinning a new
+    multi-MB blob on the driver per call forever. Evicted entries are
+    unpersist()ed (not destroyed), so a lazy plan still holding one
+    simply re-fetches from the driver on its next use."""
+    key = (spark.sparkContext.applicationId, payload)
+    bc = _DRIVER_BCAST.get(key)
+    if bc is None:
+        bc = _DRIVER_BCAST[key] = spark.sparkContext.broadcast(payload)
+    else:
+        _DRIVER_BCAST.move_to_end(key)
+    while len(_DRIVER_BCAST) > _DRIVER_BCAST_MAX:
+        _, old = _DRIVER_BCAST.popitem(last=False)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+    return bc
+
+
 def probe_membership(df: DataFrame, col: str, sketch, *, seed: int = 0,
                      out_col: str = "seen") -> DataFrame:
     """Broadcast the sketch; add a boolean membership column.
@@ -261,7 +301,7 @@ def probe_membership(df: DataFrame, col: str, sketch, *, seed: int = 0,
     Arrow batch → numpy probe of the broadcast bit array.
     """
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(sketch.to_bytes())
+    bc = _broadcast_payload(spark, sketch.to_bytes())
 
     @F.pandas_udf("boolean")
     def probe(h: pd.Series) -> pd.Series:
@@ -276,7 +316,7 @@ def cms_lookup(df: DataFrame, col: str, cms, *, seed: int = 0,
                out_col: str = "est_count") -> DataFrame:
     """Point-frequency estimates from a broadcast count-min sketch."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(cms.to_bytes())
+    bc = _broadcast_payload(spark, cms.to_bytes())
 
     @F.pandas_udf("long")
     def lookup(h: pd.Series) -> pd.Series:
@@ -310,13 +350,16 @@ def ibf_recover(df: DataFrame, col: str, ibf, *, seed: int = 0,
             "~1.3-2x the expected key count, or pass strict=False to "
             "accept the partial set.")
     spark = df.sparkSession
+    # recovery-side columns use reserved names and are ALL dropped: the
+    # output carries exactly df's own columns (the documented semi-join
+    # shape — a leaked helper column would collide with caller schemas)
     rec = spark.createDataFrame(
-        [(int(np.int64(k)), int(s)) for k, s in zip(keys.view(np.int64), signs)],
-        "key_hash long, sign int")
+        [(int(np.int64(k)),) for k in keys.view(np.int64)],
+        "__ibf_key_hash long")
     hashed = df.withColumn("__h", hash_col(F.col(col), seed))
-    return (hashed.join(F.broadcast(rec), hashed["__h"] == rec["key_hash"],
-                        "inner")
-            .drop("__h", "key_hash"))
+    return (hashed.join(F.broadcast(rec),
+                        hashed["__h"] == rec["__ibf_key_hash"], "inner")
+            .drop("__h", "__ibf_key_hash"))
 
 
 def quantiles_grouped(sketches_df: DataFrame, qs: tuple,

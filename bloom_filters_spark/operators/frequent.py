@@ -127,14 +127,29 @@ def heavy_hitters_by_group(df: DataFrame, col: str,
     gschema = ", ".join(f"`{c}` {t}" for c, t in df.select(*gcols).dtypes)
     cand = spark.createDataFrame(cand_rows, f"{gschema}, __h long")
     floors = spark.createDataFrame(floor_rows, f"{gschema}, __floor double")
-    return (df.where(F.col(col).isNotNull())
-            .withColumn("__h", hash_col(F.col(col), seed))
-            .join(F.broadcast(cand), on=[*gcols, "__h"], how="left_semi")
-            .groupBy(*gcols, col)
-            .agg(F.count(F.lit(1)).alias(out_col))
-            .join(F.broadcast(floors), on=gcols)
+
+    # NULL-SAFE group matching: groupBy keeps a NULL group, so the
+    # candidate and floor joins must too — plain equality would
+    # silently drop every heavy hitter of a NULL-keyed group
+    def _null_safe_on(left, right):
+        cond = None
+        for c in gcols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
+
+    src = (df.where(F.col(col).isNotNull())
+           .withColumn("__h", hash_col(F.col(col), seed)))
+    bcand = F.broadcast(cand)
+    counted = (src.join(bcand, _null_safe_on(src, bcand)
+                        & (src["__h"] == bcand["__h"]), "left_semi")
+               .groupBy(*gcols, col)
+               .agg(F.count(F.lit(1)).alias(out_col)))
+    bfloors = F.broadcast(floors)
+    return (counted.join(bfloors, _null_safe_on(counted, bfloors))
             .where(F.col(out_col) > F.col("__floor"))
-            .drop("__floor"))
+            .select(*[counted[c] for c in gcols], counted[col],
+                    counted[out_col]))
 
 
 def mg_lookup(df: DataFrame, col: str, mg: MisraGriesSketch, *,
@@ -144,7 +159,8 @@ def mg_lookup(df: DataFrame, col: str, mg: MisraGriesSketch, *,
     estimates, MG never over-estimates; together they bracket the true
     count within [mg_est, cms_est] with mg_est >= f - n/(c+1))."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(mg.to_bytes())
+    from .agg import _broadcast_payload
+    bc = _broadcast_payload(spark, mg.to_bytes())
 
     @F.pandas_udf("long")
     def lookup(h: pd.Series) -> pd.Series:

@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.invertible import InvertibleBloomSketch
 from ..kernels.base import sketch_from_bytes
+from .agg import fold_payloads
 from .agg import hash_col
 
 _SHARD_SCHEMA = "shard int, payload binary, n_rows long, n_shards int"
@@ -93,9 +94,7 @@ def build_ibf_shards(df: DataFrame, col: str, n_shards: int,
         })
 
     def merge_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = sketch_from_bytes(bytes(pdf["payload"].iloc[0]))
-        for p in pdf["payload"].iloc[1:]:
-            sk = sk.merge(sketch_from_bytes(bytes(p)))
+        sk, _ = fold_payloads(list(pdf["payload"]))
         return pd.DataFrame({"shard": pdf["shard"].iloc[:1],
                              "payload": [sk.to_bytes()],
                              "n_rows": [sk.n_inserted],

@@ -93,7 +93,8 @@ def shard_count(shards_df: DataFrame) -> int:
 
 def build_sharded(df: DataFrame, col: str, n_shards: int, *,
                   factory: Callable | None = None, p: float = 0.01,
-                  seed: int = 0) -> DataFrame:
+                  seed: int = 0,
+                  capacity_per_shard: int | None = None) -> DataFrame:
     """→ DataFrame(shard, payload, n_rows, n_shards): one membership
     sketch per hash-range shard.
 
@@ -103,7 +104,15 @@ def build_sharded(df: DataFrame, col: str, n_shards: int, *,
     construction, so exact sizing needs no estimation pass). Shards
     that received no keys emit no row — consumers read the modulus
     from the ``n_shards`` column, so an empty shard is just an absent
-    payload (probe → not seen), never a mis-sized modulus."""
+    payload (probe → not seen), never a mis-sized modulus.
+
+    Memory: the exact-sizing default BUFFERS each shard's 8-byte key
+    hashes in the worker before the build (it must see the count
+    first) — fine into the billions of keys per shard, not at the
+    10¹²-key design point (125 GB/shard at 64 shards). For that scale
+    pass ``capacity_per_shard``: the sketch is created up front at
+    that capacity and updated batch-by-batch, so the worker holds only
+    the filters plus ONE Arrow batch regardless of shard size."""
     if factory is None:
         factory = lambda cap: BloomSketch.from_capacity(max(1024, cap), p)
 
@@ -116,6 +125,28 @@ def build_sharded(df: DataFrame, col: str, n_shards: int, *,
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # a partition holds >=1 whole shards (never a partial shard):
         # group in pandas, build one sketch per shard
+        if capacity_per_shard is not None:
+            # streaming build: O(filters + one batch) resident bytes
+            sks: dict[int, object] = {}
+            counts: dict[int, int] = {}
+            for pdf in batches:
+                hcol = pdf["__h"].to_numpy(dtype=np.int64)
+                for s, idx in pdf.groupby("__shard").indices.items():
+                    s = int(s)
+                    sk = sks.get(s)
+                    if sk is None:
+                        sk = sks[s] = factory(int(capacity_per_shard))
+                        counts[s] = 0
+                    sk.update_hashes(hcol[idx])
+                    counts[s] += int(idx.size)
+            if not sks:
+                return
+            yield pd.DataFrame(
+                {"shard": list(sks),
+                 "payload": [sk.to_bytes() for sk in sks.values()],
+                 "n_rows": [counts[s] for s in sks]}).assign(
+                n_shards=np.int32(n_shards))
+            return
         shards: dict[int, list[np.ndarray]] = {}
         for pdf in batches:
             for s, idx in pdf.groupby("__shard").indices.items():

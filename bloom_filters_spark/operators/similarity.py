@@ -46,14 +46,17 @@ def _rank_exact(pairs: DataFrame, k: int) -> DataFrame:
     """(query_id, neighbor_id, cv, qv) pairs → exact top-k re-rank.
 
     The one scoring path all three ANN variants share. A zero-norm (or
-    NULL) vector makes Spark's division return NULL cosine — those rows
-    are dropped so they never occupy a rank slot."""
+    NULL) vector makes Spark's division return NULL cosine, and a NaN
+    component yields a NaN cosine that Spark's descending sort would
+    rank ABOVE every real score — both are dropped so corrupt vectors
+    never occupy a rank slot."""
     scored = pairs.select(
         "query_id", "neighbor_id",
         F.round(_cosine(F.col("cv"), F.col("qv")), 6).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.where(F.col("cosine").isNotNull())
+    return (scored.where(F.col("cosine").isNotNull()
+                         & ~F.isnan(F.col("cosine")))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))

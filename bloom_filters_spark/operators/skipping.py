@@ -248,7 +248,12 @@ def _candidate_files(index_df, rows, k_field) -> list[str]:
              for p in payload])
 
     hit = zoned.where(any_hit(F.col("payload"))).select("file")
-    return [r["file"] for r in hit.collect()]
+    files = [r["file"] for r in hit.collect()]
+    # the probe-hash broadcast serves exactly the one job above —
+    # unpersist immediately so a lookup loop doesn't pin one broadcast
+    # per call on the driver for the application lifetime
+    bc.unpersist(False)
+    return files
 
 
 def pruned_lookup(spark: SparkSession, path: str, index_df: DataFrame,

@@ -30,6 +30,7 @@ import os
 from typing import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels import BloomSketch, sketch_from_bytes
@@ -46,7 +47,8 @@ class StreamingShardedDedup:
     def __init__(self, spark, col: str, state_dir: str, *,
                  n_shards: int = 64, p: float = 0.01,
                  shard_capacity: int = 100_000, seed: int = 0,
-                 emit: Callable[[DataFrame, int], None] | None = None):
+                 emit: Callable[[DataFrame, int], None] | None = None,
+                 max_fpr: float | None = None):
         self.spark = spark
         self.col = col
         self.state_dir = state_dir
@@ -57,12 +59,25 @@ class StreamingShardedDedup:
         self.emit = emit
         self.n_emitted = 0
         self.n_suppressed = 0
+        # SATURATION GUARD: the per-shard capacity is fixed (OR-merge
+        # needs identical (m, k) across versions), so a stream that
+        # outgrows it would silently drop ever more genuinely-new rows
+        # as the fill ratio climbs. After each version write the worst
+        # shard's realized FPR ((bits_set/m)^k) is checked against
+        # max_fpr (default 10×p) and the stream FAILS LOUDLY with
+        # rebuild guidance instead. Pass float("inf") to disable.
+        self.max_fpr = (10.0 * p) if max_fpr is None else float(max_fpr)
+        self.last_worst_fpr = 0.0
         os.makedirs(state_dir, exist_ok=True)
 
     # -- versioned state ---------------------------------------------------
     def _versions(self) -> list[str]:
-        return sorted(d for d in os.listdir(self.state_dir)
-                      if d.startswith("v") and not d.endswith(".tmp"))
+        # numeric sort: zero-padding covers 6 digits, but a stream is
+        # allowed to outlive v999999 — lexicographic order would then
+        # pick a stale "latest" and collide on the next write
+        return sorted((d for d in os.listdir(self.state_dir)
+                       if d.startswith("v") and not d.endswith(".tmp")),
+                      key=lambda d: int(d[1:]))
 
     def current_shards(self) -> DataFrame | None:
         vs = self._versions()
@@ -106,10 +121,15 @@ class StreamingShardedDedup:
         if self.emit is not None and n_new:
             self.emit(new_rows, batch_id)
         if n_new:
+            # capacity_per_shard → the streaming build path: the worker
+            # holds the fixed-(m,k) filters plus one Arrow batch, never
+            # a whole shard's buffered hashes
             delta = build_sharded(new_rows, self.col, self.n_shards,
-                                  factory=self._factory(), seed=self.seed)
+                                  factory=self._factory(), seed=self.seed,
+                                  capacity_per_shard=self.shard_capacity)
             merged = self._merge_shards(shards, delta)
             self._write_version(merged)
+            self._check_saturation()
         # unpersist BOTH caches: a long-running stream that leaks one
         # cached DataFrame per micro-batch eventually evicts useful
         # blocks / OOMs the storage pool
@@ -117,20 +137,44 @@ class StreamingShardedDedup:
             new_rows.unpersist()
         batch_df.unpersist()
 
+    def _check_saturation(self) -> float:
+        """Worst shard's realized FPR over the just-written version —
+        one tiny job over n_shards rows, reading the durable state (no
+        recompute of the merge). Raises past ``max_fpr``."""
+        shards = self.current_shards()
+        if shards is None:
+            return 0.0
+
+        @F.pandas_udf("double")
+        def fpr_of(payload: pd.Series) -> pd.Series:
+            return pd.Series(
+                [float(sketch_from_bytes(bytes(b)).expected_fpr())
+                 for b in payload])
+
+        worst = shards.agg(
+            F.max(fpr_of(F.col("payload")))).first()[0] or 0.0
+        self.last_worst_fpr = float(worst)
+        if worst > self.max_fpr:
+            raise RuntimeError(
+                f"sharded dedup state saturated: worst shard realized "
+                f"FPR {worst:.4f} > max_fpr {self.max_fpr:.4f} "
+                f"(configured p={self.p}). The fixed shard_capacity="
+                f"{self.shard_capacity} has been outgrown, so genuinely "
+                "new rows would be dropped beyond the documented bound. "
+                "Rebuild the state with a larger shard_capacity or more "
+                "shards (or raise max_fpr to accept the degradation).")
+        return float(worst)
+
     def _merge_shards(self, shards: DataFrame | None,
                       delta: DataFrame) -> DataFrame:
         if shards is None:
             return delta
-        import pandas as pd
-
         both = shards.unionByName(delta)
 
         def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            sk, n = None, 0
-            for payload, rows in zip(pdf["payload"], pdf["n_rows"]):
-                part = sketch_from_bytes(bytes(payload))
-                sk = part if sk is None else sk.merge(part)
-                n += int(rows)
+            from ..operators.agg import fold_payloads
+            sk, n = fold_payloads(list(pdf["payload"]),
+                                  list(pdf["n_rows"]))
             # NOTE: under at-least-once batch replay n_rows is an UPPER
             # BOUND (a replayed batch re-counts), while the Bloom OR
             # itself is idempotent — membership answers are unaffected.

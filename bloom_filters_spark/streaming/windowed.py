@@ -58,8 +58,13 @@ def sketch_per_window(stream_df: DataFrame, time_col: str, col: str,
     with ``update_hashes``/``merge`` and an ``estimate()`` method
     (e.g. HLLSketch) — the state blob is its serialized bytes."""
 
+    # NULL values are dropped BEFORE hashing, matching build_sketch's
+    # batch semantics: xxhash64 skips null children, so a NULL would
+    # otherwise fold in as one phantom member (hash of the seed alone)
+    # and inflate every distinct estimate by 1
     hashed = (stream_df
               .withWatermark(time_col, watermark)
+              .where(F.col(col).isNotNull())
               .select(F.window(F.col(time_col), window)
                       .getField("start").alias("window_start"),
                       hash_col(F.col(col), seed).alias("__v")))

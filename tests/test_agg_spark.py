@@ -503,3 +503,25 @@ def test_exact_membership_baseline_vs_bloom(spark, events):
     both = exact_membership(events, "user_id", probes).join(
         probe_membership(probes, "user_id", sk), "user_id")
     assert both.where("present AND NOT seen").count() == 0
+
+
+def test_build_sharded_streaming_capacity_byte_identical(spark):
+    """capacity_per_shard switches to the incremental build (worker
+    holds filters + one batch, never a shard's buffered hashes); with
+    the same fixed capacity the result is byte-identical to the
+    buffered path — Bloom OR is order-invariant."""
+    from bloom_filters_spark.operators.sharded import (
+        build_sharded, probe_sharded)
+
+    keys = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    fixed = lambda cap: BloomSketch.from_capacity(4096, 0.01)
+    buffered = {r["shard"]: bytes(r["payload"]) for r in
+                build_sharded(keys, "k", 8, factory=fixed).collect()}
+    streaming = {r["shard"]: bytes(r["payload"]) for r in
+                 build_sharded(keys, "k", 8, factory=fixed,
+                               capacity_per_shard=4096).collect()}
+    assert streaming == buffered
+    shards = build_sharded(keys, "k", 8, factory=fixed,
+                           capacity_per_shard=4096)
+    fn = probe_sharded(keys, "k", shards).where("NOT seen").count()
+    assert fn == 0                               # no false negatives

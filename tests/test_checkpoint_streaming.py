@@ -265,3 +265,28 @@ def test_failed_merge_does_not_advance_cursor(spark, tmp_path,
     assert acc.n_rows == 500
     acc(b1, 1)                             # the replay folds normally
     assert acc.last_batch_id == 1 and acc.n_rows == 900
+
+
+def test_sharded_dedup_saturation_fails_loudly(spark, tmp_path):
+    """A stream that outgrows its fixed per-shard capacity must raise
+    with rebuild guidance, not silently drop an unbounded fraction of
+    new rows as the Bloom fill climbs."""
+    from bloom_filters_spark.streaming.dedup import StreamingShardedDedup
+
+    dd = StreamingShardedDedup(spark, "user_id",
+                               str(tmp_path / "sat_state"),
+                               n_shards=4, p=0.01, shard_capacity=100)
+    ok = spark.range(0, 300).select(F.col("id").alias("user_id"))
+    dd(ok, 0)                                  # within design: fine
+    assert dd.last_worst_fpr <= dd.max_fpr
+    flood = spark.range(1_000_000, 1_030_000).select(
+        F.col("id").alias("user_id"))
+    with pytest.raises(RuntimeError, match="saturated"):
+        dd(flood, 1)
+    # healthy configuration never trips the guard
+    dd2 = StreamingShardedDedup(spark, "user_id",
+                                str(tmp_path / "ok_state"),
+                                n_shards=4, p=0.01,
+                                shard_capacity=50_000)
+    dd2(flood, 0)
+    assert dd2.last_worst_fpr <= dd2.max_fpr

@@ -181,3 +181,18 @@ def test_mg_lookup_brackets_exact_counts(spark):
     for r in got:
         assert r["mg_lower_bound"] <= r["cnt"]
         assert r["cnt"] - r["mg_lower_bound"] <= n / 65 + 1e-9
+
+
+def test_heavy_hitters_by_group_null_group_key(spark):
+    """A NULL group key is a real group under Spark's groupBy: its
+    heavy hitters must survive the candidate/floor joins (null-safe
+    equality), not silently vanish."""
+    rows = [("en", "hot")] * 40 + [("en", f"e{i}") for i in range(30)] \
+        + [(None, "nhot")] * 50 + [(None, f"n{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "lang string, token string")
+    from bloom_filters_spark.operators.frequent import heavy_hitters_by_group
+    got = {(r["lang"], r["token"]): r["cnt"] for r in
+           heavy_hitters_by_group(df, "token", ["lang"],
+                                  capacity=8).collect()}
+    assert got[("en", "hot")] == 40
+    assert got[(None, "nhot")] == 50

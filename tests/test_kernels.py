@@ -736,3 +736,44 @@ def test_cms_inner_product_join_size():
     sd = CountMinSketch(5, 1 << 13)
     sd.update_hashes(hd[b_keys])
     assert sa.inner_product(sd) <= sa.eps * sa.total * sd.total
+
+
+def test_cuckoo_full_raise_leaves_filter_consistent():
+    """Exhausting the kick bound must not corrupt the filter: the
+    homeless victim parks in the stash, so EVERY inserted key still
+    answers present — whether or not the caller catches the raise —
+    and serde/removal/compaction all see the stashed entries."""
+    from bloom_filters_spark.kernels.cuckoo import CuckooBank, CuckooFilter
+
+    cf = CuckooFilter(capacity=8)            # 8 buckets x 4 slots = 32
+    h = rand_hashes(2000, seed=77)
+    inserted = []
+    raised = False
+    for x in h:
+        try:
+            cf.update_hashes(np.array([x]))
+            inserted.append(x)
+        except RuntimeError:
+            inserted.append(x)               # the raising insert COUNTS
+            raised = True
+            break
+    assert raised, "tiny filter never filled — test is vacuous"
+    assert cf.stash, "overflow never reached the stash"
+    got = cf.contains_hashes(np.array(inserted))
+    assert got.all(), "false negative after a caught 'full' raise"
+    # serde round-trips the stash
+    back = sketch_from_bytes(cf.to_bytes())
+    assert back.contains_hashes(np.array(inserted)).all()
+    assert back.to_bytes() == cf.to_bytes()
+    # a healthy filter's wire format is unchanged (no stash buffer)
+    clean = CuckooFilter(capacity=1024)
+    clean.update_hashes(h[:100])
+    assert not clean.stash
+    # removal can evict a stashed entry
+    n0 = back.n_items
+    assert back.remove_hashes(np.array(inserted[-1:]))[0]
+    assert back.n_items == n0 - 1
+    # bank compaction must carry stash entries into the repack
+    bank = CuckooBank([cf, CuckooFilter(table=np.zeros_like(cf.table))])
+    packed = bank.compacted()
+    assert packed.contains_hashes(np.array(inserted)).all()

@@ -76,3 +76,29 @@ def test_windowed_state_merges_across_batches(spark, tmp_path):
     last = seen[-1]
     assert last["n_rows"] == 400
     assert abs(last["estimate"] - 400) / 400 < 0.1
+
+
+def test_windowed_nulls_do_not_count(spark, tmp_path):
+    """NULL values must not fold into the window sketch as a phantom
+    member (xxhash64 of a NULL child is a constant), matching the
+    batch build_sketch semantics."""
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "srcn")
+    rows = [(t0 + dt.timedelta(minutes=1), float(u)) for u in range(50)]
+    rows += [(t0 + dt.timedelta(minutes=2), None)] * 10
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id"])
+    spark.createDataFrame(pdf).select(
+        F.col("ts").cast("timestamp"),
+        F.col("user_id").cast("long").alias("user_id")) \
+        .write.parquet(src)
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long").parquet(src))
+    windowed = sketch_per_window(stream, "ts", "user_id",
+                                 lambda: HLLSketch(12),
+                                 window="10 minutes",
+                                 watermark="10 minutes")
+    run_windowed_to_memory(windowed, "win_null", str(tmp_path / "cpn"))
+    out = spark.sql("SELECT * FROM win_null").collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 50                    # nulls not counted
+    assert abs(out[0]["estimate"] - 50) / 50 < 0.1   # no phantom member

@@ -126,8 +126,10 @@ def test_ann_tolerates_null_zero_and_tiny_inputs(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.first()["embedding"])
+    nan_vec = [float("nan")] + [1.0] * (dim - 1)
     dirty = emb.limit(50).unionByName(spark.createDataFrame(
-        [(90_001, None, 0), (90_002, [0.0] * dim, 0)],
+        [(90_001, None, 0), (90_002, [0.0] * dim, 0),
+         (90_003, nan_vec, 0)],
         emb.schema))
     queries = (emb.limit(3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
@@ -136,8 +138,13 @@ def test_ann_tolerates_null_zero_and_tiny_inputs(spark, sf_dir):
                              n_planes=6, n_tables=4)):
         rows = res.collect()
         assert rows, "no results"
-        assert all(r["cosine"] is not None for r in rows)
-        assert all(r["neighbor_id"] not in (90_001, 90_002) for r in rows)
+        import math as _m
+        assert all(r["cosine"] is not None and not _m.isnan(r["cosine"])
+                   for r in rows)
+        # NaN cosine sorts ABOVE every real score under Spark's desc
+        # order — a NaN-component vector must never take a rank slot
+        assert all(r["neighbor_id"] not in (90_001, 90_002, 90_003)
+                   for r in rows)
     # NULL-embedding queries: dropped from signatures, not a crash
     nq = spark.createDataFrame([(7, None)],
                                "query_id long, embedding array<float>")
