@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import secrets
 import time
 from typing import Callable, Iterator
 
@@ -213,7 +214,12 @@ class SketchCheckpoint:
         """Full checkpointed build. ``fail_after_shards`` simulates a kill:
         only that many shards are checkpointed before raising (test hook
         for the north_rule resume test)."""
-        attempt = int(time.time() * 1000)
+        # microsecond clock + random low-bits salt: two writers that
+        # build the same sketch_id in the same instant must not mint
+        # the same attempt id (resume keeps max(attempt) per shard — a
+        # duplicate id would merge BOTH rows and double-count
+        # non-idempotent sketches)
+        attempt = (time.time_ns() // 1000 << 10) | secrets.randbelow(1024)
         shards = None
         if fail_after_shards is not None:
             shards = list(range(fail_after_shards))
@@ -243,7 +249,9 @@ class SketchCheckpoint:
         have = self.surviving_shards(sketch_id)
         missing = sorted(set(range(self.n_shards)) - have)
         if missing:
-            attempt = int(time.time() * 1000)
+            # collision-safe attempt id (see build())
+            attempt = ((time.time_ns() // 1000 << 10)
+                       | secrets.randbelow(1024))
             self._write_partials(df, col, factory, sketch_id, missing,
                                  attempt, source, value_based)
         t = self._table().where(F.col("sketch_id") == sketch_id)

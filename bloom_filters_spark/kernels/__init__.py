@@ -15,7 +15,7 @@ from .hll import HLLSketch
 from .invertible import InvertibleBloomSketch
 from .kll import KLLSketch
 from .multi import MultiSketch
-from .spacesaving import MisraGriesSketch
+from .misragries import MisraGriesSketch
 from .tdigest import TDigest
 from .theta import ThetaSketch
 

@@ -128,8 +128,7 @@ class BloomSketch:
         encoding is a pure function of content, so merge-order and
         resume byte-identity still hold."""
         idx_dtype = np.uint32 if self.m <= 0xFFFFFFFF else np.int64
-        # popcount over bytes: O(m/8), no 8x temp
-        nnz = int(_POPCOUNT[self.bits].sum(dtype=np.int64))
+        nnz = self.bits_set()
         if nnz * np.dtype(idx_dtype).itemsize < self.bits.nbytes:
             return pack("bloom", {"m": self.m, "k": self.k,
                                   "n": self.n_inserted, "sparse": 1},

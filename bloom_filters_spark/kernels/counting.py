@@ -38,16 +38,22 @@ class CountingBloomSketch:
         self.n_inserted += int(h1.size)
 
     def remove_hashes(self, h1) -> None:
-        """Batched decrement. Contract (as in the reference's interactive
-        delete checks, Bloom_project/src/core/Bloom_project.cpp:4146-4154):
-        only remove items previously inserted; then floor-0 never engages
-        and semantics match CounterBloom.hpp:58-68 exactly."""
+        """Batched decrement — SIGNED, clipped at read (contains is
+        ``counters > 0``), never at write. That is what makes delete
+        distributed-correct: a removal folded into a DIFFERENT partial
+        than the insertion carries a −1 that the merge-sum reconciles;
+        a write-time floor would erase it and resurrect deleted items.
+        Contract (as in the reference's interactive delete checks,
+        Bloom_project/src/core/Bloom_project.cpp:4146-4154): only
+        remove items previously inserted — then the GLOBAL post-merge
+        counters are non-negative and semantics match
+        CounterBloom.hpp:58-68 exactly (the reference's floor exists
+        for over-removal, a caller error in both designs)."""
         h1 = np.asarray(h1)
         if h1.size == 0:
             return
         np.add.at(self.counters, self._idx(h1).ravel(), -1)
-        np.maximum(self.counters, 0, out=self.counters)
-        self.n_inserted = max(0, self.n_inserted - int(h1.size))
+        self.n_inserted -= int(h1.size)
 
     def contains_hashes(self, h1) -> np.ndarray:
         h1 = np.asarray(h1)

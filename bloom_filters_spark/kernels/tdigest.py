@@ -59,28 +59,39 @@ class TDigest:
                                        np.ones(v.size, dtype=np.float64)]))
 
     def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Merging-digest compression, fully vectorized.
+
+        The absorb test at item i is k(q1) − k(q0) ≤ 1 with
+        q1 = Σ w[0..i] / total (emitted + current weight is always the
+        full prefix), so ONE arcsin pass over the cumulative-weight
+        vector yields every k the pass needs; and because k(q) is
+        monotone in q, each centroid's end is a searchsorted for
+        k0 + 1 — O(centroids·log n) control flow plus prefix-sum
+        segment means, instead of a per-ITEM Python loop with two
+        single-element arcsin calls per input row."""
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
-        total = weights.sum()
+        total = float(weights.sum())
+        n = means.size
+        cumw = np.cumsum(weights)
+        kq = self._k(cumw / total)
+        wpref = np.concatenate([[0.0], cumw])
+        mwpref = np.concatenate([[0.0], np.cumsum(means * weights)])
         out_m, out_w = [], []
-        cur_m, cur_w = means[0], weights[0]
-        w_so_far = 0.0
-        for i in range(1, means.size):
-            q0 = w_so_far / total
-            q1 = (w_so_far + cur_w + weights[i]) / total
-            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
-                cur_m += (means[i] - cur_m) * weights[i] / (cur_w + weights[i])
-                cur_w += weights[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                cur_m, cur_w = means[i], weights[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
+        i = 0
+        k0 = float(self._k(np.array([0.0]))[0])
+        while i < n:
+            j = max(int(np.searchsorted(kq, k0 + 1.0, side="right")),
+                    i + 1)
+            seg_w = wpref[j] - wpref[i]
+            out_m.append((mwpref[j] - mwpref[i]) / seg_w)
+            out_w.append(seg_w)
+            if j < n:
+                k0 = float(kq[j - 1])
+            i = j
         self.means = np.array(out_m, dtype=np.float64)
         self.weights = np.array(out_w, dtype=np.float64)
-        self.total = float(total)
+        self.total = total
 
     def merge(self, other: "TDigest") -> "TDigest":
         assert self.delta == other.delta

@@ -12,7 +12,9 @@ probe-index relation, so they cost one shuffle and scale linearly:
   identical full index signatures ≡ Σ C(c,2) over signature groups —
   O(n) via groupBy instead of the reference's O(n²) loop.
 - parameter sweeps (D1–D3, src/analysis/CollisionAnalyzer.cpp:21-202):
-  driver loops over k / m re-using one cached probe relation.
+  driver loops over k / m re-using ONE cached hash relation — the
+  xxhash64 pass (k/m-independent) runs once per sweep, only the cheap
+  index derivation re-runs per point.
 """
 
 from __future__ import annotations
@@ -26,32 +28,46 @@ from pyspark.sql import DataFrame, functions as F
 from ..kernels.hashing import km_indices
 
 
-def probe_indices(df: DataFrame, col: str, k: int, m: int,
-                  seed: int = 0) -> DataFrame:
-    """→ (element-hash, array<long> of its k probe indices). The same
-    Kirsch–Mitzenmacher derivation the Bloom kernel uses, exposed as a
-    relation (the reference's getIndices, BloomFilter.cpp:51-63)."""
-    hashed = df.select(F.xxhash64(F.col(col), F.lit(seed)).alias("h"))
+def _hashed(df: DataFrame, col: str, seed: int) -> DataFrame:
+    # NULLs are dropped to match every sketch-build path (a NULL child
+    # makes xxhash64 return the seed-only constant — a phantom element
+    # that would inflate collision metrics relative to the real filter)
+    return (df.where(F.col(col).isNotNull())
+            .select(F.xxhash64(F.col(col), F.lit(seed)).alias("h")))
 
+
+def _indices_from_hashes(hdf: DataFrame, k: int, m: int) -> DataFrame:
     def to_idx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             h = pdf["h"].to_numpy(dtype=np.int64)
             idx = km_indices(h, k, m)
             yield pd.DataFrame({"h": h, "indices": list(idx)})
 
-    return hashed.mapInPandas(to_idx, schema="h long, indices array<long>")
+    return hdf.mapInPandas(to_idx, schema="h long, indices array<long>")
+
+
+def probe_indices(df: DataFrame, col: str, k: int, m: int,
+                  seed: int = 0) -> DataFrame:
+    """→ (element-hash, array<long> of its k probe indices). The same
+    Kirsch–Mitzenmacher derivation the Bloom kernel uses, exposed as a
+    relation (the reference's getIndices, BloomFilter.cpp:51-63)."""
+    return _indices_from_hashes(_hashed(df, col, seed), k, m)
+
+
+def _relative_from_hashes(hdf: DataFrame, k: int, m: int) -> DataFrame:
+    idx = _indices_from_hashes(hdf, k, m)
+    cell_counts = (idx.select(F.explode("indices").alias("cell"))
+                   .groupBy("cell").agg(F.count("*").alias("c")))
+    return cell_counts.agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
+        .cast("long").alias("relative_collisions"))
 
 
 def relative_collisions(df: DataFrame, col: str, k: int, m: int,
                         seed: int = 0, distinct: bool = True) -> DataFrame:
     """K5: Σ_{cells set c>1 times} (c−1), i.e. wasted bit-sets."""
     src = df.select(col).distinct() if distinct else df
-    idx = probe_indices(src, col, k, m, seed)
-    cell_counts = (idx.select(F.explode("indices").alias("cell"))
-                   .groupBy("cell").agg(F.count("*").alias("c")))
-    return cell_counts.agg(
-        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0))
-        .cast("long").alias("relative_collisions"))
+    return _relative_from_hashes(_hashed(src, col, seed), k, m)
 
 
 def absolute_collisions(df: DataFrame, col: str, k: int, m: int,
@@ -71,28 +87,26 @@ def collision_sweep_k(df: DataFrame, col: str, m: int,
                       ks=range(1, 6), seed: int = 0) -> list[dict]:
     """D1: relative collisions for k = 1..5 at fixed m
     (src/analysis/CollisionAnalyzer.cpp:21-70)."""
-    src = df.select(col).distinct().cache()
+    hdf = _hashed(df.select(col).distinct(), col, seed).cache()
     out = []
     try:
         for k in ks:
-            rc = relative_collisions(src, col, k, m, seed,
-                                     distinct=False).first()[0]
+            rc = _relative_from_hashes(hdf, k, m).first()[0]
             out.append({"k": k, "m": m, "relative_collisions": int(rc or 0)})
     finally:
-        src.unpersist()
+        hdf.unpersist()
     return out
 
 
 def collision_sweep_m(df: DataFrame, col: str, k: int = 3,
                       ms=range(1000, 30001, 5000), seed: int = 0) -> list[dict]:
     """D3: sweep m at fixed k (src/analysis/CollisionAnalyzer.cpp:152-202)."""
-    src = df.select(col).distinct().cache()
+    hdf = _hashed(df.select(col).distinct(), col, seed).cache()
     out = []
     try:
         for m in ms:
-            rc = relative_collisions(src, col, k, m, seed,
-                                     distinct=False).first()[0]
+            rc = _relative_from_hashes(hdf, k, m).first()[0]
             out.append({"k": k, "m": m, "relative_collisions": int(rc or 0)})
     finally:
-        src.unpersist()
+        hdf.unpersist()
     return out

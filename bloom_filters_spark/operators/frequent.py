@@ -4,7 +4,7 @@ The classic two-pass frequent-items plan that never shuffles the
 token stream:
 
 1. Pass 1: ``agg.build_sketch`` folds each partition into a
-   capacity-c Misra-Gries summary (`kernels/spacesaving.py`) and
+   capacity-c Misra-Gries summary (`kernels/misragries.py`) and
    tree-merges the partials — the only data moving is c counter rows
    per partition. The merged summary retains EVERY key with true
    frequency > n/(c+1) (mergeable-summaries guarantee), so its ≤ c
@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..kernels.base import sketch_from_bytes
-from ..kernels.spacesaving import MisraGriesSketch
+from ..kernels.misragries import MisraGriesSketch
 from .agg import _cached_sketch, build_grouped_sketches, build_sketch, \
     hash_col
 

@@ -165,7 +165,12 @@ def extract_features(df: DataFrame,
                     stripes = np.array_split(flat, n_features)
                     out_feat.append([float(s.mean()) for s in stripes])
                     ok.append(True)
-                except (NotImplementedError, ValueError, TypeError):
+                except Exception:
+                    # catch EVERYTHING a codec can throw: the advertised
+                    # production decoders raise OSError-family errors
+                    # (PIL UnidentifiedImageError, ffmpeg RuntimeError)
+                    # — one corrupt payload in a lake-scale table must
+                    # flag its row (ok=false), never abort the job
                     out_feat.append([0.0] * n_features)
                     ok.append(False)
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -191,8 +196,8 @@ def resize_images(df: DataFrame, width: int, height: int,
                     pdf["meta"]):
                 try:
                     arr = decoder(bytes(payload), meta)
-                except (NotImplementedError, ValueError, TypeError):
-                    continue
+                except Exception:
+                    continue   # same any-codec-error contract as above
                 yi = (np.linspace(0, arr.shape[0] - 1, height)).astype(int)
                 xi = (np.linspace(0, arr.shape[1] - 1, width)).astype(int)
                 out = arr[np.ix_(yi, xi)]

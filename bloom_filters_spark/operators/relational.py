@@ -51,8 +51,7 @@ def top_k_by_count(df: DataFrame, group_col, k: int = 20) -> DataFrame:
     tie-break on the group value."""
     return (df.groupBy(group_col)
             .agg(F.count("*").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc_nulls_last(
-                group_col if isinstance(group_col, str) else group_col))
+            .orderBy(F.desc("cnt"), F.asc_nulls_last(group_col))
             .limit(k))
 
 

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from bloom_filters_spark.kernels.spacesaving import MisraGriesSketch
+from bloom_filters_spark.kernels.misragries import MisraGriesSketch
 from bloom_filters_spark.kernels.hashing import to_u64
 from bloom_filters_spark.operators.frequent import heavy_hitters
 

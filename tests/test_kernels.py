@@ -777,3 +777,21 @@ def test_cuckoo_full_raise_leaves_filter_consistent():
     bank = CuckooBank([cf, CuckooFilter(table=np.zeros_like(cf.table))])
     packed = bank.compacted()
     assert packed.contains_hashes(np.array(inserted)).all()
+
+
+def test_cbf_remove_in_different_partial_survives_merge():
+    """Distributed delete: a removal folded into a DIFFERENT partial
+    than the insertion must win after the merge — a write-time floor
+    would erase the -1 and resurrect the deleted item."""
+    h = rand_hashes(50, seed=21)
+    a = CountingBloomSketch(1 << 12, 4)
+    a.update_hashes(h)                            # inserts land in A
+    b = CountingBloomSketch(1 << 12, 4)
+    b.remove_hashes(h[:20])                       # removals land in B
+    merged = a.merge(b)
+    assert not merged.contains_hashes(h[:20]).any()
+    assert merged.contains_hashes(h[20:]).all()
+    # serde round-trips the signed partial
+    back = sketch_from_bytes(b.to_bytes())
+    assert (back.counters == b.counters).all()
+    assert a.merge(back).to_bytes() == merged.to_bytes()
