@@ -331,11 +331,23 @@ def q_bloom_contract(spark, sf_dir):
                             sk.k, sk.m)[0].tolist()
         if got.get(h) != expect:
             km_ok = False
+    # H8 (pluggable hash-family registration, the reference's
+    # setHashFunction surface): the same build under ``seed=1`` derives
+    # an INDEPENDENT family from the (col, lit(seed)) tuple — the
+    # no-false-negative contract must hold under ANY registered family,
+    # while the bit patterns must differ (families are not aliases)
+    sk2, _ = build_sketch(orders, "o_orderkey",
+                          lambda: BloomSketch.from_capacity(n, p), seed=1)
+    fn2 = probe_membership(orders.distinct(), "o_orderkey", sk2,
+                           seed=1).where(~F.col("seen")).count()
+    seed_family_ok = (fn2 == 0 and sk2.to_bytes() != sk.to_bytes())
     return spark.createDataFrame(
         [(int(fn), 20_000, bool(fp / 20_000 <= 2 * p),
-          int(bad_idx), bool(size_ok), bool(km_ok))],
+          int(bad_idx), bool(size_ok), bool(km_ok),
+          bool(seed_family_ok))],
         "false_negatives long, n_probes long, fpr_ok boolean, "
-        "bad_probe_indices long, sizing_ok boolean, km_family_ok boolean")
+        "bad_probe_indices long, sizing_ok boolean, km_family_ok boolean, "
+        "seed_family_ok boolean")
 
 
 def q_hll_bounds(spark, sf_dir):
@@ -1594,7 +1606,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS false_negatives, "
             "CAST(20000 AS BIGINT) AS n_probes, TRUE AS fpr_ok, "
             "CAST(0 AS BIGINT) AS bad_probe_indices, TRUE AS sizing_ok, "
-            "TRUE AS km_family_ok",
+            "TRUE AS km_family_ok, TRUE AS seed_family_ok",
         "hll_bounds":
             "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, "
             "TRUE AS within_bound, TRUE AS byte_identical, "
