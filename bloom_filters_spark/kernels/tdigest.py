@@ -75,22 +75,25 @@ class TDigest:
         n = means.size
         cumw = np.cumsum(weights)
         kq = self._k(cumw / total)
-        wpref = np.concatenate([[0.0], cumw])
-        mwpref = np.concatenate([[0.0], np.cumsum(means * weights)])
-        out_m, out_w = [], []
+        starts = []
         i = 0
         k0 = float(self._k(np.array([0.0]))[0])
         while i < n:
             j = max(int(np.searchsorted(kq, k0 + 1.0, side="right")),
                     i + 1)
-            seg_w = wpref[j] - wpref[i]
-            out_m.append((mwpref[j] - mwpref[i]) / seg_w)
-            out_w.append(seg_w)
+            starts.append(i)
             if j < n:
                 k0 = float(kq[j - 1])
             i = j
-        self.means = np.array(out_m, dtype=np.float64)
-        self.weights = np.array(out_w, dtype=np.float64)
+        idx = np.asarray(starts, dtype=np.int64)
+        # segment sums via reduceat, NOT differences of global prefix
+        # sums: a prefix-sum segment mean cancels catastrophically when
+        # a segment's values are tiny relative to the running prefix
+        # (e.g. [-1.0, 5e-261] collapsed the second centroid to 0.0);
+        # reduceat keeps every segment's arithmetic local
+        seg_w = np.add.reduceat(weights, idx)
+        self.means = np.add.reduceat(means * weights, idx) / seg_w
+        self.weights = seg_w
         self.total = total
 
     def merge(self, other: "TDigest") -> "TDigest":
@@ -104,6 +107,23 @@ class TDigest:
                           np.concatenate([self.weights, other.weights]))
         return out
 
+    @staticmethod
+    def _lerp(a: float, b: float, t: float) -> float:
+        """Interpolation that is EXACT at t∈{0,1}, exact for a == b,
+        and never leaves [min(a,b), max(a,b)]. Neither naive form has
+        all three: a + t·(b−a) rounds b away when |b| ≪ ulp(|a|)
+        (means [−1.0, −3e-17] at t=1 returned 0.0 — a full rank
+        position of error from pure float cancellation), while
+        (1−t)·a + t·b drifts off a tied pair by one ulp (two equal
+        centroids at t=0.6 returned a value BELOW both). Both were
+        caught by the t-digest hypothesis property test."""
+        if t <= 0.0:
+            return float(a)
+        if t >= 1.0:
+            return float(b)
+        lo, hi = (a, b) if a <= b else (b, a)
+        return float(min(max((1.0 - t) * a + t * b, lo), hi))
+
     def quantile(self, q: float) -> float:
         self._flush()
         if self.means.size == 0:
@@ -113,17 +133,18 @@ class TDigest:
         target = q * self.total
         cum = np.cumsum(self.weights) - self.weights / 2.0
         if target <= cum[0]:
-            return self.vmin if q <= 0 else float(
-                self.vmin + (self.means[0] - self.vmin)
-                * max(0.0, target / cum[0]))
+            t = max(0.0, target / cum[0])
+            return self.vmin if q <= 0 else self._lerp(
+                self.vmin, float(self.means[0]), t)
         if target >= cum[-1]:
             rem = self.total - cum[-1]
-            return self.vmax if rem <= 0 else float(
-                self.means[-1] + (self.vmax - self.means[-1])
-                * min(1.0, (target - cum[-1]) / rem))
+            if rem <= 0:
+                return self.vmax
+            t = min(1.0, (target - cum[-1]) / rem)
+            return self._lerp(float(self.means[-1]), self.vmax, t)
         i = int(np.searchsorted(cum, target) - 1)
-        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
-        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+        t = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return self._lerp(float(self.means[i]), float(self.means[i + 1]), t)
 
     @property
     def size_bytes(self) -> int:

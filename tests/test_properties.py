@@ -10,12 +10,12 @@ layout gives the same sketch.
 """
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from bloom_filters_spark.kernels import (
     BloomSketch, CountingBloomSketch, CountMinSketch, CuckooFilter,
-    HLLSketch, InvertibleBloomSketch, KLLSketch, ThetaSketch,
-    sketch_from_bytes)
+    HLLSketch, InvertibleBloomSketch, KLLSketch, MisraGriesSketch,
+    TDigest, ThetaSketch, sketch_from_bytes)
 
 keys = st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
                 min_size=0, max_size=400)
@@ -136,6 +136,108 @@ def test_serde_roundtrip_byte_identical(xs):
             sk = _fresh(factory, xs)
         blob = sk.to_bytes()
         assert sketch_from_bytes(blob).to_bytes() == blob, name
+
+
+@SET
+@given(xs=st.lists(st.integers(min_value=1, max_value=40),
+                   min_size=1, max_size=2000),
+       cap=st.integers(min_value=2, max_value=48),
+       cuts=st.lists(st.integers(min_value=0, max_value=2000),
+                     max_size=5))
+def test_mg_retention_and_bounds_under_any_merge(xs, cap, cuts):
+    """Misra-Gries mergeable-summaries guarantee for ARBITRARY splits
+    and merge orders: every key with true frequency > n/(cap+1)
+    survives the merged summary, and each retained estimate lies in
+    [f − n/(cap+1), f] — the two facts heavy_hitters' exactness rests
+    on (under-estimation direction matters: Space-Saving inverts it)."""
+    h = np.asarray(xs, dtype=np.int64)
+    n = h.size
+    cuts = sorted(min(c, n) for c in cuts)
+    parts = np.split(h, cuts)
+    sks = []
+    for p in parts:
+        sk = MisraGriesSketch(cap)
+        if p.size:
+            sk.update_hashes(p)
+        sks.append(sk)
+    merged = sks[-1]                      # reversed merge order
+    for sk in reversed(sks[:-1]):
+        merged = merged.merge(sk)
+    uniq, counts = np.unique(h, return_counts=True)
+    floor = n / (cap + 1)
+    summ = {int(k): int(c) for k, c in
+            zip(merged.keys.astype(np.uint64), merged.counts)}
+    for u, f in zip(uniq.astype(np.uint64), counts):
+        if f > floor:
+            assert int(u) in summ, (u, f, floor)
+    true = {int(u): int(f) for u, f in zip(uniq.astype(np.uint64), counts)}
+    for k, est in summ.items():
+        f = true.get(k, 0)
+        assert f - floor - 1e-9 <= est <= f, (k, est, f, floor)
+
+
+@SET
+@given(xs=st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                             allow_nan=False), min_size=2, max_size=1000),
+       cuts=st.lists(st.integers(min_value=0, max_value=1000), max_size=4))
+# pinned regressions: prefix-sum segment means cancelled the tiny
+# centroid to 0.0 (first), and each naive lerp form failed one of
+# endpoint-exactness / tied-pair-exactness (second & third)
+@example(xs=[4.845733282921825e-261, -1.0], cuts=[])
+@example(xs=[0.0, -1.0, -2.7755575615628914e-17], cuts=[])
+@example(xs=[0.87499, 0.87499], cuts=[])
+def test_tdigest_rank_error_survives_any_merge_split(xs, cuts):
+    """t-digest(100) rank error at the probed quantiles stays small for
+    the MERGE of any split of the input (the vectorized _compress must
+    preserve the k-size invariant through merges, not just one build)."""
+    arr = np.asarray(xs, dtype=np.float64)
+    n = arr.size
+    cuts = sorted(min(c, n) for c in cuts)
+    merged = None
+    for p in np.split(arr, cuts):
+        td = TDigest(100)
+        if p.size:
+            td.update_values(p)
+        merged = td if merged is None else merged.merge(td)
+    srt = np.sort(arr)
+    # the 1/n term absorbs discreteness of tied/tiny inputs (same
+    # absorb the quantile_bounds oracle documents): interpolating
+    # between a tied mass and an outlier legitimately lands strictly
+    # between values, costing up to one rank position
+    tol = 0.1 + 1.0 / n
+    for q in (0.1, 0.5, 0.9):
+        est = merged.quantile(q)
+        lo = np.searchsorted(srt, est, side="left") / n
+        hi = np.searchsorted(srt, est, side="right") / n
+        assert lo - tol <= q <= hi + tol, (q, lo, hi, est)
+
+
+@SET
+@given(seed=st.integers(min_value=0, max_value=2**32 - 1))
+def test_counting_bloom_interleaved_distributed_deletes(seed):
+    """Signed-partial delete semantics under a RANDOM interleaving:
+    inserts and removals (removals ≤ inserts per key, as the contract
+    requires) scattered over random partials must, after the merge,
+    still answer present for every key with a positive net count —
+    regardless of which partial each ±1 landed in."""
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(-2**62, 2**62, size=64, dtype=np.int64)
+    keys = np.unique(keys)
+    ins = rng.integers(1, 4, size=keys.size)
+    rem = np.array([rng.integers(0, c + 1) for c in ins])
+    partials = [CountingBloomSketch(1 << 12, 4) for _ in range(4)]
+    for x, c in zip(keys, ins):
+        for _ in range(int(c)):
+            partials[rng.integers(0, 4)].update_hashes(np.array([x]))
+    for x, c in zip(keys, rem):
+        for _ in range(int(c)):
+            partials[rng.integers(0, 4)].remove_hashes(np.array([x]))
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.merge(p)
+    survivors = keys[rem < ins]
+    if survivors.size:
+        assert merged.contains_hashes(survivors).all()
 
 
 @SET
