@@ -49,6 +49,18 @@ def _zipf_cdf(n: int, s: float) -> np.ndarray:
 
 _HOST_CDF = _zipf_cdf(N_HOSTS, ZIPF_S)
 _VOCAB_CDF = _zipf_cdf(VOCAB, 1.1)
+_VOCAB_PA = None
+
+
+def _vocab_pa():
+    """Arrow string array of the VOCAB word table ("w0".."w9999"),
+    built once per process (per-word np.char.mod was the generator's
+    dominant cost)."""
+    global _VOCAB_PA
+    if _VOCAB_PA is None:
+        import pyarrow as pa
+        _VOCAB_PA = pa.array(np.char.mod("w%d", np.arange(VOCAB)))
+    return _VOCAB_PA
 
 
 def _stream(ids: np.ndarray, tag: int) -> np.ndarray:
@@ -75,7 +87,14 @@ def generate_urls_pdf(ids: np.ndarray) -> pd.DataFrame:
 
 
 def generate_pdf(ids: np.ndarray) -> pd.DataFrame:
-    """Vectorized page batch for an int64 id array."""
+    """Vectorized page batch for an int64 id array — zero per-row
+    Python: word strings from one C-level np.char.mod, per-row text
+    joins and the html template via Arrow's C++ binary_join kernels
+    (byte-identical to the former per-row ''.join/encode loop, pinned
+    by test_generate_pdf_vectorized_matches_scalar)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ids = ids.astype(np.int64)
     # duplicates: content id points at an earlier row
     is_dup = (_u01(ids, 1) < DUP_FRAC) & (ids > 0)
@@ -89,32 +108,33 @@ def generate_pdf(ids: np.ndarray) -> pd.DataFrame:
     # text: k words, k ~ seeded lognormal clipped to [5, 500]
     k = np.clip(np.exp(3.0 + 1.0 * (_u01(cid, 5) * 2 - 1)), 5, 500).astype(int)
     offsets = np.concatenate([[0], np.cumsum(k)])
-    flat_seed = np.repeat(cid, k) * _U64(1_000_003) + np.concatenate(
-        [np.arange(n, dtype=np.int64) for n in k]).astype(_U64)
+    total = int(offsets[-1])
+    word_pos = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], k)
+    flat_seed = np.repeat(cid, k) * _U64(1_000_003) + word_pos.astype(_U64)
     word_idx = np.searchsorted(_VOCAB_CDF, _u01(flat_seed.astype(np.int64), 6))
 
-    # vectorized string assembly: per-word strings come from one C-level
-    # np.char.mod; per-row joins slice the flat array (no per-word Python)
-    flat_words = np.char.mod("w%d", word_idx)
+    # words come from a 10k-entry precomputed vocab table decoded
+    # through an Arrow dictionary array (40x np.char.mod per-word cost)
+    flat_words = pa.DictionaryArray.from_arrays(
+        pa.array(word_idx, type=pa.int32()), _vocab_pa()).dictionary_decode()
     host_str = np.char.mod("https://host%05d.example/p", host_rank)
     urls_arr = np.char.add(host_str, path.astype("U"))
-    urls, texts, htmls = [], [], []
-    join = " ".join
-    for i in range(ids.size):
-        text = join(flat_words[offsets[i]:offsets[i + 1]])
-        url = urls_arr[i]
-        html = (b"<html><head><title>" + url.encode()
-                + b"</title></head><body><p>"
-                + text.encode() + b"</p></body></html>")
-        urls.append(url)
-        texts.append(text)
-        htmls.append(html)
+    urls_pa = pa.array(urls_arr)
+    texts_pa = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()),
+                                 flat_words),
+        " ")
+    htmls_pa = pc.binary_join_element_wise(
+        pa.scalar("<html><head><title>"), urls_pa,
+        pa.scalar("</title></head><body><p>"), texts_pa,
+        pa.scalar("</p></body></html>"), pa.scalar("")).cast(pa.binary())
     lang_pick = np.searchsorted(_LANG_CDF, _u01(cid, 7))
     langs = _LANGS[np.clip(lang_pick, 0, len(_LANGS) - 1)]
-    ts = [(_EPOCH + dt.timedelta(seconds=int(i % (30 * 86400))))
-          .replace(tzinfo=None) for i in ids]
-    return pd.DataFrame({"url": urls, "warc_ts": ts, "html": htmls,
-                         "text": texts, "lang": langs})
+    ts = (np.datetime64(_EPOCH.replace(tzinfo=None))
+          + (ids % (30 * 86400)).astype("timedelta64[s]"))
+    return pd.DataFrame({"url": urls_arr, "warc_ts": pd.Series(ts),
+                         "html": htmls_pa.to_pylist(),
+                         "text": texts_pa.to_pylist(), "lang": langs})
 
 
 def generate_pages(spark: SparkSession, n: int,

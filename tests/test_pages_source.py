@@ -47,6 +47,46 @@ def test_extract_text_invariant_byte_identical(spark):
         assert extract_text_scalar(bytes(row["html"])) == row["text"]
 
 
+def test_generate_pdf_vectorized_matches_scalar():
+    """The Arrow-vectorized generate_pdf must stay BYTE-identical to
+    the scalar per-row reference assembly (same words, joins, html
+    template, timestamps) — the fixture law is part of every
+    determinism/throughput claim downstream."""
+    import datetime as dt
+
+    from bloom_filters_spark.sources import pages as pg
+
+    ids = np.concatenate([np.arange(0, 700, dtype=np.int64),
+                          np.array([10_000, 123_456, 2**31], dtype=np.int64)])
+    got = pg.generate_pdf(ids)
+
+    is_dup = (pg._u01(ids, 1) < pg.DUP_FRAC) & (ids > 0)
+    back = (pg._stream(ids, 2) % pg._U64(1000)).astype(np.int64) + 1
+    cid = np.where(is_dup, np.maximum(0, ids - back), ids)
+    host_rank = np.searchsorted(pg._HOST_CDF, pg._u01(cid, 3))
+    k = np.clip(np.exp(3.0 + 1.0 * (pg._u01(cid, 5) * 2 - 1)),
+                5, 500).astype(int)
+    offsets = np.concatenate([[0], np.cumsum(k)])
+    flat_seed = (np.repeat(cid, k) * pg._U64(1_000_003)
+                 + np.concatenate([np.arange(n, dtype=np.int64)
+                                   for n in k]).astype(pg._U64))
+    word_idx = np.searchsorted(
+        pg._VOCAB_CDF, pg._u01(flat_seed.astype(np.int64), 6))
+    flat_words = np.char.mod("w%d", word_idx)
+    for i, rid in enumerate(ids):
+        url = f"https://host{host_rank[i]:05d}.example/p{cid[i]}"
+        text = " ".join(flat_words[offsets[i]:offsets[i + 1]])
+        html = (b"<html><head><title>" + url.encode()
+                + b"</title></head><body><p>" + text.encode()
+                + b"</p></body></html>")
+        ts = (pg._EPOCH + dt.timedelta(seconds=int(rid % (30 * 86400)))
+              ).replace(tzinfo=None)
+        assert got["url"].iloc[i] == url
+        assert got["text"].iloc[i] == text
+        assert bytes(got["html"].iloc[i]) == html
+        assert got["warc_ts"].iloc[i].to_pydatetime() == ts
+
+
 def test_words_fixture(spark):
     w = words_df(spark, 1000)
     vals = {r[0] for r in w.collect()}
