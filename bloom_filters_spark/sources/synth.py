@@ -55,6 +55,18 @@ def _zipf_cdf(n: int, s: float) -> np.ndarray:
     return np.cumsum(w / w.sum())
 
 _VOCAB_CDF = _zipf_cdf(VOCAB, 1.1)
+_VOCAB_PA = None
+
+
+def _vocab_pa():
+    """Arrow string array of the vocab table ("t0".."t9999"), built
+    once per process (see sources/pages.py: per-word np.char.mod was
+    the generator's dominant cost)."""
+    global _VOCAB_PA
+    if _VOCAB_PA is None:
+        import pyarrow as pa
+        _VOCAB_PA = pa.array(np.char.mod("t%d", np.arange(VOCAB)))
+    return _VOCAB_PA
 
 
 def _stream(ids: np.ndarray, tag: int) -> np.ndarray:
@@ -70,9 +82,11 @@ def _doc_words(cid: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(flat word-index array, per-doc word counts) for content ids."""
     k = np.clip(np.exp(3.2 + 0.8 * (_u01(cid, 11) * 2 - 1)),
                 8, 120).astype(int)
+    offsets = np.concatenate([[0], np.cumsum(k)])
+    word_pos = (np.arange(int(offsets[-1]), dtype=np.int64)
+                - np.repeat(offsets[:-1], k))
     flat_seed = (np.repeat(cid, k).astype(_U64) * _U64(1_000_003)
-                 + np.concatenate([np.arange(n, dtype=np.int64)
-                                   for n in k]).astype(_U64))
+                 + word_pos.astype(_U64))
     word_idx = np.searchsorted(
         _VOCAB_CDF, _u01(flat_seed.astype(np.int64), 12))
     return word_idx, k
@@ -100,30 +114,41 @@ def documents_pdf(ids: np.ndarray) -> pd.DataFrame:
         hop = (_stream(cid, 2) % _U64(500)).astype(np.int64) + 1
         cid = np.where(unresolved, np.maximum(0, cid - hop), cid)
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     word_idx, k = _doc_words(cid)
     offsets = np.concatenate([[0], np.cumsum(k)])
     # near-dup: re-draw the last ~10% of words from the row's OWN id
-    # stream, so the text is ~90% shingle-identical to its ancestor
-    flat_words = np.char.mod("t%d", word_idx)
-    texts = []
-    join = " ".join
-    for i in range(ids.size):
-        words = flat_words[offsets[i]:offsets[i + 1]]
-        if is_near[i]:
-            tail = max(1, len(words) // 10)
-            seeds = (np.full(tail, ids[i], dtype=np.int64) * 31
-                     + np.arange(tail))
-            repl = np.searchsorted(_VOCAB_CDF, _u01(seeds, 13))
-            words = words.copy()
-            words[-tail:] = np.char.mod("t%d", repl)
-        texts.append(join(words))
+    # stream, so the text is ~90% shingle-identical to its ancestor —
+    # vectorized as a flat scatter into the word-index array (pinned
+    # byte-identical to the scalar per-row loop by
+    # test_documents_pdf_vectorized_matches_scalar)
+    near_rows = np.flatnonzero(is_near)
+    if near_rows.size:
+        tails = np.maximum(1, k[near_rows] // 10)
+        within = (np.arange(int(tails.sum()), dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(tails[:-1])]),
+                              tails))
+        flat_pos = np.repeat(offsets[near_rows + 1] - tails, tails) + within
+        seeds = np.repeat(ids[near_rows], tails) * 31 + within
+        word_idx = word_idx.copy()
+        word_idx[flat_pos] = np.searchsorted(_VOCAB_CDF, _u01(seeds, 13))
+    flat_words = pa.DictionaryArray.from_arrays(
+        pa.array(word_idx, type=pa.int32()), _vocab_pa()).dictionary_decode()
+    texts_pa = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, type=pa.int64()),
+                                 flat_words),
+        " ")
     lang = _LANGS[np.clip(np.searchsorted(_LANG_CDF, _u01(cid, 3)),
                           0, len(_LANGS) - 1)]
     source = np.char.mod("src%d", (_stream(ids, 4)
                                    % _U64(N_SOURCES)).astype(np.int64))
-    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-    return pd.DataFrame({"doc_id": ids, "text": texts, "lang": lang,
-                         "source": source, "n_chars": n_chars})
+    # every text byte is single-byte ASCII ("t<digits>" + spaces)
+    n_chars = pc.binary_length(texts_pa).to_numpy().astype(np.int64)
+    return pd.DataFrame({"doc_id": ids, "text": texts_pa.to_pylist(),
+                         "lang": lang, "source": source,
+                         "n_chars": n_chars})
 
 
 _EPOCH_NS = np.datetime64("2026-01-01", "ns")

@@ -103,6 +103,50 @@ def test_users_fixture(spark):
     assert row["phone"] == "+12345678929"
 
 
+def test_documents_pdf_vectorized_matches_scalar():
+    """synth.documents_pdf's flat-scatter near-dup rewrite + Arrow join
+    must stay BYTE-identical to the scalar per-row reference — the
+    staged sf1 tiers (and BENCH/sf1.json) depend on the generation law
+    not moving."""
+    from bloom_filters_spark.sources import synth as sy
+
+    ids = np.arange(0, 3000, dtype=np.int64)
+    got = sy.documents_pdf(ids)
+
+    u = sy._u01(ids, 1)
+    is_dup = (u < sy.DUP_FRAC) & (ids > 0)
+    is_near = ((u >= sy.DUP_FRAC) & (u < sy.DUP_FRAC + sy.NEAR_FRAC)
+               & (ids > 0))
+    back = (sy._stream(ids, 2) % sy._U64(500)).astype(np.int64) + 1
+    cid = np.where(is_dup | is_near, np.maximum(0, ids - back), ids)
+    derived = is_dup | is_near
+    while True:
+        unresolved = (derived & (cid > 0)
+                      & (sy._u01(cid, 1) < sy.DUP_FRAC + sy.NEAR_FRAC))
+        if not unresolved.any():
+            break
+        hop = (sy._stream(cid, 2) % sy._U64(500)).astype(np.int64) + 1
+        cid = np.where(unresolved, np.maximum(0, cid - hop), cid)
+    word_idx, k = sy._doc_words(cid)
+    offsets = np.concatenate([[0], np.cumsum(k)])
+    flat_words = np.char.mod("t%d", word_idx)
+    n_near_checked = 0
+    for i in range(ids.size):
+        words = flat_words[offsets[i]:offsets[i + 1]]
+        if is_near[i]:
+            tail = max(1, len(words) // 10)
+            seeds = (np.full(tail, ids[i], dtype=np.int64) * 31
+                     + np.arange(tail))
+            repl = np.searchsorted(sy._VOCAB_CDF, sy._u01(seeds, 13))
+            words = words.copy()
+            words[-tail:] = np.char.mod("t%d", repl)
+            n_near_checked += 1
+        text = " ".join(words)
+        assert got["text"].iloc[i] == text, i
+        assert got["n_chars"].iloc[i] == len(text), i
+    assert n_near_checked > 50      # the near branch was exercised
+
+
 def test_synth_tier_determinism_and_structure(spark):
     """sources/synth.py: every tier table is a pure function of row ids
     (partitioning-independent), documents carry exact + near dups, and
