@@ -198,6 +198,60 @@ def test_null_keys_do_not_poison_index(spark, tmp_path):
     assert [r["k"] for r in got.collect()] == [7]
 
 
+def test_randomized_bit_identity_sweep(spark, tmp_path):
+    """Randomized breadth behind the fixed-case contracts: for seeded
+    random (dtype, null/NaN mix, probe set) configurations the pruned
+    lookup must equal the full-scan semi join EXACTLY. Seeds are fixed
+    — failures reproduce."""
+    import math
+
+    import numpy as np
+
+    def keyset(rows):
+        return sorted("nan" if isinstance(r["k"], float)
+                      and math.isnan(r["k"]) else str(r["k"])
+                      for r in rows)
+
+    for seed, dtype in [(11, "long"), (12, "double"), (13, "string"),
+                        (14, "double_nan")]:
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(300, 900))
+        path = str(tmp_path / f"rt_{seed}")
+        if dtype == "long":
+            vals = np.unique(rng.integers(-2**61, 2**61, size=n))
+            rows = [(int(v),) for v in vals]
+            schema = "k long"
+            probe_pool = ([int(v) for v in rng.choice(vals, 10)]
+                          + [int(x) for x in
+                             rng.integers(-2**61, 2**61, size=10)])
+        elif dtype == "string":
+            vals = [f"u{int(v):012d}" for v in
+                    np.unique(rng.integers(0, 10**10, size=n))]
+            rows = [(v,) for v in vals]
+            schema = "k string"
+            pick = rng.choice(len(vals), 10)
+            probe_pool = ([vals[i] for i in pick]
+                          + [f"zz{i}" for i in range(10)])
+        else:
+            vals = rng.normal(0, 1e6, size=n)
+            if dtype == "double_nan":
+                vals[rng.choice(n, n // 20, replace=False)] = np.nan
+            rows = [(float(v),) for v in vals]
+            schema = "k double"
+            probe_pool = ([float(v) for v in rng.choice(vals, 10)]
+                          + [float(x) for x in rng.normal(0, 1e6, 10)])
+        df = spark.createDataFrame(rows, schema)
+        sk.stage_clustered(df, path, "k", 4)
+        idx = sk.build_scan_index(spark, path, "k")
+        probes = spark.createDataFrame([(p,) for p in probe_pool], schema)
+        got, stats = sk.pruned_lookup(spark, path, idx, probes, "k")
+        full = spark.read.parquet(path).join(probes, on="k",
+                                             how="left_semi")
+        assert keyset(got.collect()) == keyset(full.collect()), \
+            (seed, dtype)
+        assert stats["files_scanned"] <= stats["files_total"]
+
+
 def test_files_total_cache_param(spark, staged):
     path, idx = staged
     got, stats = sk.pruned_lookup(spark, path, idx, _probe_df(spark, [7]),
