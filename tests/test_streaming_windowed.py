@@ -102,3 +102,97 @@ def test_windowed_nulls_do_not_count(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n_rows"] == 50                    # nulls not counted
     assert abs(out[0]["estimate"] - 50) / 50 < 0.1   # no phantom member
+
+
+def _write_items(spark, path, rows):
+    pdf = pd.DataFrame(rows, columns=["ts", "token"])
+    spark.createDataFrame(pdf).select(
+        F.col("ts").cast("timestamp"), "token").write.parquet(path)
+
+
+def test_windowed_topk_exact(spark, tmp_path):
+    """capacity > distinct items => MG never decrements => counts are
+    EXACT; ranks follow (count desc, item asc)."""
+    from bloom_filters_spark.streaming import topk_per_window
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "tk_src")
+    rows = []
+    # window A [00:00, 00:10): a x10, b x5, c x5, d x1
+    for tok, cnt in [("a", 10), ("b", 5), ("c", 5), ("d", 1)]:
+        rows += [(t0 + dt.timedelta(minutes=1), tok)] * cnt
+    # window B [00:10, 00:20): z x7, y x3
+    for tok, cnt in [("z", 7), ("y", 3)]:
+        rows += [(t0 + dt.timedelta(minutes=12), tok)] * cnt
+    _write_items(spark, src, rows)
+
+    stream = (spark.readStream
+              .schema("ts timestamp, token string").parquet(src))
+    out_df = topk_per_window(stream, "ts", "token", k=3, capacity=256,
+                             window="10 minutes", watermark="10 minutes")
+    run_windowed_to_memory(out_df, "win_topk", str(tmp_path / "tk_cp"))
+    rows_out = spark.sql(
+        "SELECT * FROM win_topk ORDER BY window_start, rank").collect()
+    a = [r for r in rows_out if r["window_start"] == t0]
+    b = [r for r in rows_out
+         if r["window_start"] == t0 + dt.timedelta(minutes=10)]
+    assert [(r["item"], r["count"], r["rank"]) for r in a] == [
+        ("a", 10, 1), ("b", 5, 2), ("c", 5, 3)]   # b before c: item asc
+    assert all(r["n_rows"] == 21 for r in a)
+    assert [(r["item"], r["count"], r["rank"]) for r in b] == [
+        ("z", 7, 1), ("y", 3, 2)]
+    assert all(r["n_rows"] == 10 for r in b)
+
+
+def test_windowed_topk_state_across_batches(spark, tmp_path):
+    """Two file drops into one window: counters must accumulate in the
+    MG state blob, and retained keys keep their names across batches
+    even when the key does NOT reappear in the second batch."""
+    from bloom_filters_spark.streaming import topk_per_window
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "tk2_src")
+    _write_items(spark, f"{src}/a.parquet",
+                 [(t0 + dt.timedelta(minutes=1), "alpha")] * 6 +
+                 [(t0 + dt.timedelta(minutes=1), "beta")] * 2)
+    stream = (spark.readStream
+              .schema("ts timestamp, token string").parquet(f"{src}/*"))
+    out_df = topk_per_window(stream, "ts", "token", k=2, capacity=64,
+                             window="10 minutes", watermark="10 minutes")
+    cp = str(tmp_path / "tk2_cp")
+    seen = []
+
+    def sink(bdf, _bid):
+        seen.extend(bdf.collect())
+
+    run_windowed_foreach_batch(out_df, sink, cp)
+    # second drop: only beta occurs; alpha's name must survive in state
+    _write_items(spark, f"{src}/b.parquet",
+                 [(t0 + dt.timedelta(minutes=2), "beta")] * 3)
+    run_windowed_foreach_batch(out_df, sink, cp)
+    last_trigger = [r for r in seen if r["n_rows"] == 11]
+    assert [(r["item"], r["count"], r["rank"]) for r in
+            sorted(last_trigger, key=lambda r: r["rank"])] == [
+        ("alpha", 6, 1), ("beta", 5, 2)]
+
+
+def test_windowed_topk_small_capacity_lower_bounds(spark, tmp_path):
+    """capacity < distinct: the heavy item must still be retained
+    (true freq > n/(capacity+1)) with count a lower bound <= true and
+    >= true - n/(capacity+1)."""
+    from bloom_filters_spark.streaming import topk_per_window
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "tk3_src")
+    rows = [(t0 + dt.timedelta(minutes=1), "hot")] * 300
+    rows += [(t0 + dt.timedelta(minutes=2), f"cold{i}") for i in range(700)]
+    _write_items(spark, src, rows)
+    stream = (spark.readStream
+              .schema("ts timestamp, token string").parquet(src))
+    out_df = topk_per_window(stream, "ts", "token", k=1, capacity=8,
+                             window="10 minutes", watermark="10 minutes")
+    run_windowed_to_memory(out_df, "win_topk3", str(tmp_path / "tk3_cp"))
+    rows_out = spark.sql("SELECT * FROM win_topk3").collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    n = 1000
+    assert r["item"] == "hot" and r["rank"] == 1 and r["n_rows"] == n
+    assert r["count"] <= 300
+    assert r["count"] >= 300 - n // (8 + 1)
