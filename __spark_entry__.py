@@ -988,16 +988,21 @@ def q_streaming_accumulate(spark, sf_dir):
 
 
 def q_streaming_windowed(spark, sf_dir):
-    """Event-time windowed HLL under Structured Streaming
-    (applyInPandasWithState + watermark): per-day distinct-user
-    sketches over the events stream; n_rows exact per window, estimate
-    within the published bound vs the batch-exact count."""
+    """Event-time windowed sketches under Structured Streaming
+    (applyInPandasWithState + watermark): per-day distinct-user HLL
+    sketches over the events stream — n_rows exact per window,
+    estimate within the published bound vs the batch-exact count —
+    PLUS per-day top-3 event types from the streaming Misra-Gries
+    state (`topk_per_window`): capacity 64 exceeds the event-type
+    cardinality, so MG never decrements and the streamed (item, count,
+    rank) triples are EXACT — checked value-for-value against the SQL
+    window-rank oracle."""
     import tempfile
     import shutil
     import os
     import uuid
     from bloom_filters_spark.streaming import (
-        run_windowed_to_memory, sketch_per_window)
+        run_windowed_to_memory, sketch_per_window, topk_per_window)
     ev_path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(ev_path).schema
     name = f"win_q_{uuid.uuid4().hex[:8]}"
@@ -1014,21 +1019,41 @@ def q_streaming_windowed(spark, sf_dir):
                                      window="1 day", watermark="1 day")
         run_windowed_to_memory(windowed, name, f"{td}/cp")
         rows = spark.sql(f"SELECT * FROM {name}").collect()
+        topk = topk_per_window(stream, "ts", "event_type", k=3,
+                               capacity=64, window="1 day",
+                               watermark="1 day")
+        run_windowed_to_memory(topk, f"{name}_tk", f"{td}/cp_tk")
+        tk_rows = spark.sql(f"SELECT * FROM {name}_tk").collect()
     # update mode: keep the final (largest-n) row per window
     final: dict = {}
     for r in rows:
         cur = final.get(r["window_start"])
         if cur is None or r["n_rows"] > cur["n_rows"]:
             final[r["window_start"]] = r
+    # same for the top-k stream: the trigger with the largest n_rows
+    # per window carries that window's final MG state
+    tk_final: dict = {}
+    for r in tk_rows:
+        w = r["window_start"]
+        if w not in tk_final or r["n_rows"] > tk_final[w][0]["n_rows"]:
+            tk_final.setdefault(w, [])
+        if tk_final[w] and r["n_rows"] < tk_final[w][0]["n_rows"]:
+            continue
+        tk_final[w] = [x for x in tk_final[w]
+                       if x["n_rows"] == r["n_rows"]] + [r]
     exact = dict(spark.read.parquet(ev_path)
                  .groupBy(F.date_trunc("day", "ts").alias("w"))
                  .agg(F.countDistinct("user_id")).collect())
     tol = 4 * HLLSketch(12).relative_error + 0.02
-    out = [(w, int(r["n_rows"]),
-            bool(abs(r["estimate"] - exact[w]) / exact[w] <= tol))
-           for w, r in sorted(final.items())]
+    out = []
+    for w, r in sorted(final.items()):
+        within = bool(abs(r["estimate"] - exact[w]) / exact[w] <= tol)
+        for t in sorted(tk_final[w], key=lambda t: t["rank"]):
+            out.append((w, int(r["n_rows"]), within, int(t["rank"]),
+                        str(t["item"]), int(t["count"])))
     return spark.createDataFrame(
-        out, "window_start timestamp, n_rows long, within_bound boolean")
+        out, "window_start timestamp, n_rows long, within_bound boolean,"
+             " top_rank long, top_item string, top_count long")
 
 
 def q_token_budget(spark, sf_dir):
@@ -1727,9 +1752,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT TRUE AS matches_batch, "
             "(SELECT COUNT(*) FROM documents) AS n_rows",
         "streaming_windowed":
-            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) "
-            "AS window_start, COUNT(*) AS n_rows, TRUE AS within_bound "
-            "FROM events GROUP BY date_trunc('day', ts)",
+            "WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)"
+            " AS w, event_type AS it, COUNT(*) AS cnt FROM events"
+            " WHERE event_type IS NOT NULL GROUP BY 1, 2),"
+            " r AS (SELECT w, it, cnt, ROW_NUMBER() OVER"
+            " (PARTITION BY w ORDER BY cnt DESC, it ASC) AS rk FROM c),"
+            " n AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)"
+            " AS w, COUNT(*) AS n_rows FROM events GROUP BY 1)"
+            " SELECT r.w AS window_start, n.n_rows,"
+            " TRUE AS within_bound, r.rk AS top_rank, r.it AS top_item,"
+            " r.cnt AS top_count"
+            " FROM r JOIN n ON r.w = n.w WHERE r.rk <= 3",
         "streaming_dedup":
             "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
             "TRUE AS coverage_ok, TRUE AS true_dupes_suppressed",
