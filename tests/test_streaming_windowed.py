@@ -196,3 +196,125 @@ def test_windowed_topk_small_capacity_lower_bounds(spark, tmp_path):
     assert r["item"] == "hot" and r["rank"] == 1 and r["n_rows"] == n
     assert r["count"] <= 300
     assert r["count"] >= 300 - n // (8 + 1)
+
+
+def test_duration_parser():
+    from bloom_filters_spark.streaming.windowed import _duration_ms
+    assert _duration_ms("10 minutes") == 600_000
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms("90 seconds") == 90_000
+    assert _duration_ms("2 HOURS") == 7_200_000
+    import pytest
+    with pytest.raises(ValueError):
+        _duration_ms("1.5 days")
+    with pytest.raises(ValueError):
+        _duration_ms("fortnight")
+
+
+def test_windowed_value_quantile(spark, tmp_path):
+    """value_based per-window KLL: the emitted median must sit within
+    the sketch's rank-error bound of the exact per-window median; NULL
+    and NaN values are dropped (n_rows counts only folded rows)."""
+    from bloom_filters_spark.kernels import KLLSketch
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "vq_src")
+    rows = [(t0 + dt.timedelta(minutes=1), float(v))      # window A: 0..999
+            for v in range(1000)]
+    rows += [(t0 + dt.timedelta(minutes=12), float(v * 10))  # B: 0..4990
+             for v in range(500)]
+    rows += [(t0 + dt.timedelta(minutes=2), None)] * 7
+    rows += [(t0 + dt.timedelta(minutes=3), float("nan"))] * 5
+    pdf = pd.DataFrame(rows, columns=["ts", "val"])
+    spark.createDataFrame(pdf).select(
+        F.col("ts").cast("timestamp"), "val").write.parquet(src)
+    stream = (spark.readStream
+              .schema("ts timestamp, val double").parquet(src))
+    windowed = sketch_per_window(
+        stream, "ts", "val", lambda: KLLSketch(200),
+        window="10 minutes", watermark="10 minutes",
+        value_based=True, emit=lambda sk: sk.quantile(0.5))
+    run_windowed_to_memory(windowed, "win_vq", str(tmp_path / "vq_cp"))
+    out = {r["window_start"]: r for r in
+           spark.sql("SELECT * FROM win_vq").collect()}
+    a = out[t0]
+    b = out[t0 + dt.timedelta(minutes=10)]
+    assert a["n_rows"] == 1000 and b["n_rows"] == 500   # NULL/NaN dropped
+    # KLL(200) rank error ~1.5%; allow 3% of the value range per window
+    assert abs(a["estimate"] - 499.5) <= 0.03 * 1000
+    assert abs(b["estimate"] - 2495.0) <= 0.03 * 5000
+
+
+def _run_batches(spark, tmp_path, tag, make_stream):
+    """Drive a windowed stream through four single-file triggers and
+    return the sink rows per run (restart-from-checkpoint each time)."""
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / f"{tag}_src")
+    cp = str(tmp_path / f"{tag}_cp")
+    far = t0 + dt.timedelta(days=3)
+    drops = [
+        [(t0 + dt.timedelta(minutes=1), "alpha")] * 4,          # window A
+        [(far, "zeta")] * 2,                                     # watermark →
+        [(far + dt.timedelta(minutes=30), "zeta")] * 2,          # A evicts
+        [(far + dt.timedelta(minutes=60), "zeta")] * 2,          # A stays gone
+    ]
+    stream = make_stream(f"{src}/*")
+    per_run = []
+    for i, rows in enumerate(drops):
+        _write_items(spark, f"{src}/d{i}.parquet", rows)
+        batch_rows = []
+        run_windowed_foreach_batch(
+            stream, lambda bdf, _bid: batch_rows.extend(bdf.collect()), cp)
+        per_run.append(batch_rows)
+    return t0, per_run
+
+
+def test_windowed_state_ttl_evicts(spark, tmp_path):
+    """state_ttl: window A's state must flush exactly once after the
+    watermark passes window_end + ttl, then never reappear (evicted)."""
+    from bloom_filters_spark.kernels import HLLSketch
+
+    def make(path):
+        stream = (spark.readStream
+                  .schema("ts timestamp, token string").parquet(path))
+        return sketch_per_window(stream, "ts", "token",
+                                 lambda: HLLSketch(12),
+                                 window="10 minutes",
+                                 watermark="10 minutes",
+                                 state_ttl="10 minutes")
+
+    t0, per_run = _run_batches(spark, tmp_path, "ttl", make)
+    a_rows = [[r for r in run if r["window_start"] == t0]
+              for run in per_run]
+    assert len(a_rows[0]) == 1 and a_rows[0][0]["n_rows"] == 4
+    # the "window closed" flush fires exactly once, in whichever later
+    # run's watermark first exceeds A's close time (availableNow runs a
+    # trailing no-data batch, so it lands in the run that ADVANCED the
+    # watermark); afterwards the state is gone — A never reappears
+    flush_runs = [i for i in range(1, 4) if a_rows[i]]
+    assert len(flush_runs) == 1
+    flush = a_rows[flush_runs[0]]
+    assert len(flush) == 1
+    assert flush[0]["n_rows"] == 4      # byte-equal to the last update
+    assert flush[0]["estimate"] == a_rows[0][0]["estimate"]
+
+
+def test_windowed_topk_state_ttl_evicts(spark, tmp_path):
+    """Same eviction contract for the MG top-k state."""
+    from bloom_filters_spark.streaming import topk_per_window
+
+    def make(path):
+        stream = (spark.readStream
+                  .schema("ts timestamp, token string").parquet(path))
+        return topk_per_window(stream, "ts", "token", k=2, capacity=16,
+                               window="10 minutes",
+                               watermark="10 minutes",
+                               state_ttl="10 minutes")
+
+    t0, per_run = _run_batches(spark, tmp_path, "tttl", make)
+    a_rows = [[r for r in run if r["window_start"] == t0]
+              for run in per_run]
+    assert [(r["item"], r["count"]) for r in a_rows[0]] == [("alpha", 4)]
+    flush_runs = [i for i in range(1, 4) if a_rows[i]]
+    assert len(flush_runs) == 1
+    assert [(r["item"], r["count"]) for r in a_rows[flush_runs[0]]] == [
+        ("alpha", 4)]
