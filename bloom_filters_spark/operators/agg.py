@@ -223,24 +223,64 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
 
     partials = sel.mapInPandas(build, schema=out_schema)
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk, n = fold_payloads(list(pdf["payload"]), list(pdf["n_rows"]))
-        out = {g: [pdf[g].iloc[0]] for g in gcols}
-        out["payload"] = [sk.to_bytes()]
-        out["n_rows"] = [n]
-        return pd.DataFrame(out)
+    # Reduce side: repartition on the group key co-locates every
+    # partial of a group, then ONE mapInPandas call per Arrow batch
+    # folds them — groupBy().applyInPandas would instead invoke Python
+    # once per GROUP (a tiny DataFrame each), whose fixed cost at
+    # millions of groups dwarfs the merges themselves (~300µs vs ~10µs
+    # a group). The fold is incremental left-to-right in row order
+    # (fold_payloads' contract), and at most one live sketch per group
+    # is resident (sparse-start keeps that data-proportional).
+    def _merge_grouped(keycols: list[str]):
+        def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc: dict = {}   # key -> [payload bytes | sketch, n_rows]
+            for pdf in batches:
+                idxmap = pdf.groupby(keycols, sort=False,
+                                     dropna=False).indices
+                payloads = pdf["payload"].to_numpy()
+                counts = pdf["n_rows"].to_numpy()
+                for key, idx in idxmap.items():
+                    k = key if isinstance(key, tuple) else (key,)
+                    ent = acc.get(k)
+                    if ent is None:
+                        if len(idx) == 1:
+                            # single partial (the common case once
+                            # groups outnumber partitions): to_bytes is
+                            # a pure function of content, so the bytes
+                            # pass through without a decode/re-encode
+                            acc[k] = [bytes(payloads[idx[0]]),
+                                      int(counts[idx[0]])]
+                            continue
+                        ent = acc[k] = [None, 0]
+                    sk = (sketch_from_bytes(ent[0])
+                          if isinstance(ent[0], bytes) else ent[0])
+                    for i in idx:
+                        part = sketch_from_bytes(bytes(payloads[i]))
+                        sk = part if sk is None else sk.merge(part)
+                    ent[0] = sk
+                    ent[1] += int(counts[idx].sum())
+            if not acc:
+                return
+            keys = list(acc)
+            data = {g: [k[i] for k in keys]
+                    for i, g in enumerate(keycols)}
+            data["payload"] = [
+                ent[0] if isinstance(ent[0], bytes) else ent[0].to_bytes()
+                for ent in (acc[k] for k in keys)]
+            data["n_rows"] = [acc[k][1] for k in keys]
+            yield pd.DataFrame(data)
+        return merge
 
     if merge_salts > 1:
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            return merge_group(pdf.drop(columns=["__salt"]))
         salted = partials.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col("payload")), F.lit(merge_salts)))
-        level1 = salted.groupBy(*gcols, "__salt").applyInPandas(
-            merge_salted, schema=out_schema)
-        partials = level1
+        partials = (salted.repartition(*gcols, "__salt")
+                    .mapInPandas(_merge_grouped(gcols + ["__salt"]),
+                                 schema=out_schema + ", `__salt` bigint")
+                    .drop("__salt"))
 
-    return partials.groupBy(*gcols).applyInPandas(merge_group,
-                                                  schema=out_schema)
+    return (partials.repartition(*gcols)
+            .mapInPandas(_merge_grouped(gcols), schema=out_schema))
 
 
 # --------------------------------------------------------------------------

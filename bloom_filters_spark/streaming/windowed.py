@@ -83,6 +83,7 @@ def _arm_eviction(state: GroupState, window_start, window_ms: int,
 
 def sketch_per_window(stream_df: DataFrame, time_col: str, col: str,
                       factory: Callable, *, window: str = "10 minutes",
+                      slide: str | None = None,
                       watermark: str = "10 minutes", seed: int = 0,
                       value_based: bool = False,
                       emit: Callable | None = None,
@@ -98,6 +99,12 @@ def sketch_per_window(stream_df: DataFrame, time_col: str, col: str,
     dropped before the fold, matching batch ``build_sketch``. ``emit``
     overrides the emitted scalar (default ``sk.estimate()``), e.g.
     ``lambda sk: sk.quantile(0.5)`` for a windowed median.
+
+    ``slide`` turns the tumbling window into a sliding one (e.g.
+    window="10 minutes", slide="5 minutes"): Spark's window() expands
+    each row into every window it falls in, and each window keeps its
+    own independent sketch state — nothing else changes, because the
+    state is keyed by window_start either way.
 
     ``state_ttl`` bounds state for unbounded window streams: each
     window's state is dropped by an EventTimeTimeout at window_end +
@@ -122,8 +129,9 @@ def sketch_per_window(stream_df: DataFrame, time_col: str, col: str,
         proj = hash_col(F.col(col), seed).alias("__v")
     window_ms = _duration_ms(window)
     ttl_ms = None if state_ttl is None else _duration_ms(state_ttl)
-    cols = [F.window(F.col(time_col), window)
-            .getField("start").alias("window_start"), proj]
+    win = (F.window(F.col(time_col), window) if slide is None
+           else F.window(F.col(time_col), window, slide))
+    cols = [win.getField("start").alias("window_start"), proj]
     if ttl_ms is not None:
         # EventTimeTimeout requires the watermarked attribute to survive
         # into the stateful operator's child plan
@@ -185,8 +193,8 @@ _TOPK_STATE_SCHEMA = StructType([
 
 def topk_per_window(stream_df: DataFrame, time_col: str, col: str, *,
                     k: int = 5, capacity: int = 256,
-                    window: str = "1 day", watermark: str = "1 day",
-                    seed: int = 0,
+                    window: str = "1 day", slide: str | None = None,
+                    watermark: str = "1 day", seed: int = 0,
                     state_ttl: str | None = None) -> DataFrame:
     """Streaming heavy hitters: → (window_start, item, count, rank,
     n_rows), the top-k items of each event-time window, maintained by
@@ -207,17 +215,18 @@ def topk_per_window(stream_df: DataFrame, time_col: str, col: str, *,
     tie-break; 64-bit hash collisions between distinct items would
     conflate their names (~2⁻⁶⁴·pairs, negligible at any real k).
 
-    ``state_ttl`` (see ``sketch_per_window``): evict each window's MG
-    state at window_end + ttl via EventTimeTimeout, re-emitting the
-    final top-k rows once as the "window closed" flush."""
+    ``slide`` / ``state_ttl`` (see ``sketch_per_window``): sliding
+    windows keep one MG state per window_start; eviction flushes each
+    window's final top-k rows once at window_end + ttl."""
     import json
 
     from ..kernels.misragries import MisraGriesSketch
 
     window_ms = _duration_ms(window)
     ttl_ms = None if state_ttl is None else _duration_ms(state_ttl)
-    cols = [F.window(F.col(time_col), window)
-            .getField("start").alias("window_start"),
+    win = (F.window(F.col(time_col), window) if slide is None
+           else F.window(F.col(time_col), window, slide))
+    cols = [win.getField("start").alias("window_start"),
             hash_col(F.col(col), seed).alias("__v"),
             F.col(col).cast("string").alias("__s")]
     if ttl_ms is not None:

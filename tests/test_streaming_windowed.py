@@ -318,3 +318,30 @@ def test_windowed_topk_state_ttl_evicts(spark, tmp_path):
     assert len(flush_runs) == 1
     assert [(r["item"], r["count"]) for r in a_rows[flush_runs[0]]] == [
         ("alpha", 4)]
+
+
+def test_windowed_sliding_sketch(spark, tmp_path):
+    """slide= expands each row into every window containing it; each
+    window_start keeps an independent sketch (n_rows per window checks
+    the expansion exactly)."""
+    from bloom_filters_spark.kernels import HLLSketch
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "sl_src")
+    # 60 rows at :02 and 40 rows at :07 — 10-minute windows sliding
+    # by 5: rows at :02 fall in windows starting 23:55 and 00:00;
+    # rows at :07 in windows 00:00 and 00:05
+    rows = [(t0 + dt.timedelta(minutes=2), u) for u in range(60)]
+    rows += [(t0 + dt.timedelta(minutes=7), u + 1000) for u in range(40)]
+    _write_events(spark, src, t0, rows)
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long").parquet(src))
+    windowed = sketch_per_window(stream, "ts", "user_id",
+                                 lambda: HLLSketch(12),
+                                 window="10 minutes", slide="5 minutes",
+                                 watermark="10 minutes")
+    run_windowed_to_memory(windowed, "win_slide", str(tmp_path / "sl_cp"))
+    out = {r["window_start"]: r["n_rows"] for r in
+           spark.sql("SELECT * FROM win_slide").collect()}
+    assert out == {t0 - dt.timedelta(minutes=5): 60,
+                   t0: 100,
+                   t0 + dt.timedelta(minutes=5): 40}
