@@ -231,9 +231,15 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
     # a group). The fold is incremental left-to-right in row order
     # (fold_payloads' contract), and at most one live sketch per group
     # is resident (sparse-start keeps that data-proportional).
+    # canonical stand-in for NA group-key elements: NaN/NaT are
+    # unequal to themselves, so raw keys would fail to accumulate
+    # ACROSS Arrow batches (pandas groupby unifies them only WITHIN a
+    # batch) and an NA group would emit one row per batch it spans
+    _NA = object()
+
     def _merge_grouped(keycols: list[str]):
         def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc: dict = {}   # key -> [payload bytes | sketch, n_rows]
+            acc: dict = {}   # canon key -> [payload|sketch, n, orig key]
             for pdf in batches:
                 idxmap = pdf.groupby(keycols, sort=False,
                                      dropna=False).indices
@@ -241,17 +247,18 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
                 counts = pdf["n_rows"].to_numpy()
                 for key, idx in idxmap.items():
                     k = key if isinstance(key, tuple) else (key,)
-                    ent = acc.get(k)
+                    ck = tuple(_NA if pd.isna(e) else e for e in k)
+                    ent = acc.get(ck)
                     if ent is None:
                         if len(idx) == 1:
                             # single partial (the common case once
                             # groups outnumber partitions): to_bytes is
                             # a pure function of content, so the bytes
                             # pass through without a decode/re-encode
-                            acc[k] = [bytes(payloads[idx[0]]),
-                                      int(counts[idx[0]])]
+                            acc[ck] = [bytes(payloads[idx[0]]),
+                                       int(counts[idx[0]]), k]
                             continue
-                        ent = acc[k] = [None, 0]
+                        ent = acc[ck] = [None, 0, k]
                     sk = (sketch_from_bytes(ent[0])
                           if isinstance(ent[0], bytes) else ent[0])
                     for i in idx:
@@ -261,13 +268,13 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
                     ent[1] += int(counts[idx].sum())
             if not acc:
                 return
-            keys = list(acc)
-            data = {g: [k[i] for k in keys]
+            ents = list(acc.values())
+            data = {g: [ent[2][i] for ent in ents]
                     for i, g in enumerate(keycols)}
             data["payload"] = [
                 ent[0] if isinstance(ent[0], bytes) else ent[0].to_bytes()
-                for ent in (acc[k] for k in keys)]
-            data["n_rows"] = [acc[k][1] for k in keys]
+                for ent in ents]
+            data["n_rows"] = [ent[1] for ent in ents]
             yield pd.DataFrame(data)
         return merge
 

@@ -537,3 +537,28 @@ def test_build_sharded_streaming_capacity_byte_identical(spark):
                            capacity_per_shard=4096)
     fn = probe_sharded(keys, "k", shards).where("NOT seen").count()
     assert fn == 0                               # no false negatives
+
+
+def test_grouped_build_na_group_key_accumulates(spark):
+    """An NA group key (NULL/NaN double) must fold into ONE output row
+    even when its partials span multiple reduce-side Arrow batches:
+    NaN != NaN, so a raw-key dict would emit one row per batch the
+    group appears in. (NULL and NaN group keys merge into a single NA
+    group through this operator — Arrow erases the distinction on the
+    map side — matching the pre-batched behavior.)"""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        rows = [(1.0, float(i)) for i in range(4)]
+        rows += [(None, float(100 + i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "g double, v double").repartition(4)
+        grouped = build_grouped_sketches(df, "v", lambda: HLLSketch(12),
+                                         ["g"])
+        out = grouped.collect()
+        assert len(out) == 2
+        na = [r for r in out if r["g"] is None or r["g"] != r["g"]]
+        assert len(na) == 1 and na[0]["n_rows"] == 5
+        ones = [r for r in out if r["g"] == 1.0]
+        assert len(ones) == 1 and ones[0]["n_rows"] == 4
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "100000")
