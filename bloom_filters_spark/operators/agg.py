@@ -172,6 +172,61 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
 # grouped sketch build (one sketch per group, e.g. per host / per lang)
 # --------------------------------------------------------------------------
 
+# canonical stand-in for NA group-key elements: NaN/NaT are unequal to
+# themselves, so raw keys would fail to accumulate ACROSS Arrow batches
+# (pandas groupby unifies them only WITHIN a batch) and an NA group
+# would emit one row per batch it spans
+_NA = object()
+
+
+def _merge_grouped(keycols: list[str]):
+    """Batched grouped-partial fold (the reduce side of
+    ``build_grouped_sketches``): one Python invocation per Arrow batch
+    folds every (keycols..., payload, n_rows) partial row into ≤ one
+    output row per group. Incremental left-to-right in row order
+    (``fold_payloads``' contract); at most one live sketch per group is
+    resident; single-partial groups pass their payload bytes through
+    untouched (``to_bytes`` is a pure function of content)."""
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict = {}   # canon key -> [payload|sketch, n, orig key]
+        for pdf in batches:
+            idxmap = pdf.groupby(keycols, sort=False,
+                                 dropna=False).indices
+            payloads = pdf["payload"].to_numpy()
+            counts = pdf["n_rows"].to_numpy()
+            for key, idx in idxmap.items():
+                k = key if isinstance(key, tuple) else (key,)
+                ck = tuple(_NA if pd.isna(e) else e for e in k)
+                ent = acc.get(ck)
+                if ent is None:
+                    if len(idx) == 1:
+                        # single partial (the common case once groups
+                        # outnumber partitions): the bytes pass through
+                        # without a decode/re-encode
+                        acc[ck] = [bytes(payloads[idx[0]]),
+                                   int(counts[idx[0]]), k]
+                        continue
+                    ent = acc[ck] = [None, 0, k]
+                sk = (sketch_from_bytes(ent[0])
+                      if isinstance(ent[0], bytes) else ent[0])
+                for i in idx:
+                    part = sketch_from_bytes(bytes(payloads[i]))
+                    sk = part if sk is None else sk.merge(part)
+                ent[0] = sk
+                ent[1] += int(counts[idx].sum())
+        if not acc:
+            return
+        ents = list(acc.values())
+        data = {g: [ent[2][i] for ent in ents]
+                for i, g in enumerate(keycols)}
+        data["payload"] = [
+            ent[0] if isinstance(ent[0], bytes) else ent[0].to_bytes()
+            for ent in ents]
+        data["n_rows"] = [ent[1] for ent in ents]
+        yield pd.DataFrame(data)
+    return merge
+
+
 def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
                            group_cols: list[str], *, seed: int = 0,
                            value_based: bool = False,
@@ -225,59 +280,10 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
 
     # Reduce side: repartition on the group key co-locates every
     # partial of a group, then ONE mapInPandas call per Arrow batch
-    # folds them — groupBy().applyInPandas would instead invoke Python
-    # once per GROUP (a tiny DataFrame each), whose fixed cost at
-    # millions of groups dwarfs the merges themselves (~300µs vs ~10µs
-    # a group). The fold is incremental left-to-right in row order
-    # (fold_payloads' contract), and at most one live sketch per group
-    # is resident (sparse-start keeps that data-proportional).
-    # canonical stand-in for NA group-key elements: NaN/NaT are
-    # unequal to themselves, so raw keys would fail to accumulate
-    # ACROSS Arrow batches (pandas groupby unifies them only WITHIN a
-    # batch) and an NA group would emit one row per batch it spans
-    _NA = object()
-
-    def _merge_grouped(keycols: list[str]):
-        def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc: dict = {}   # canon key -> [payload|sketch, n, orig key]
-            for pdf in batches:
-                idxmap = pdf.groupby(keycols, sort=False,
-                                     dropna=False).indices
-                payloads = pdf["payload"].to_numpy()
-                counts = pdf["n_rows"].to_numpy()
-                for key, idx in idxmap.items():
-                    k = key if isinstance(key, tuple) else (key,)
-                    ck = tuple(_NA if pd.isna(e) else e for e in k)
-                    ent = acc.get(ck)
-                    if ent is None:
-                        if len(idx) == 1:
-                            # single partial (the common case once
-                            # groups outnumber partitions): to_bytes is
-                            # a pure function of content, so the bytes
-                            # pass through without a decode/re-encode
-                            acc[ck] = [bytes(payloads[idx[0]]),
-                                       int(counts[idx[0]]), k]
-                            continue
-                        ent = acc[ck] = [None, 0, k]
-                    sk = (sketch_from_bytes(ent[0])
-                          if isinstance(ent[0], bytes) else ent[0])
-                    for i in idx:
-                        part = sketch_from_bytes(bytes(payloads[i]))
-                        sk = part if sk is None else sk.merge(part)
-                    ent[0] = sk
-                    ent[1] += int(counts[idx].sum())
-            if not acc:
-                return
-            ents = list(acc.values())
-            data = {g: [ent[2][i] for ent in ents]
-                    for i, g in enumerate(keycols)}
-            data["payload"] = [
-                ent[0] if isinstance(ent[0], bytes) else ent[0].to_bytes()
-                for ent in ents]
-            data["n_rows"] = [ent[1] for ent in ents]
-            yield pd.DataFrame(data)
-        return merge
-
+    # folds them (_merge_grouped) — groupBy().applyInPandas would
+    # instead invoke Python once per GROUP (a tiny DataFrame each),
+    # whose fixed cost at millions of groups dwarfs the merges
+    # themselves (~300µs vs ~10µs a group).
     if merge_salts > 1:
         salted = partials.withColumn(
             "__salt", F.pmod(F.xxhash64(F.col("payload")), F.lit(merge_salts)))

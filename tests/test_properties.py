@@ -263,3 +263,61 @@ def test_kll_rank_error_survives_any_merge_split(xs, split):
         lo = np.searchsorted(srt, est, side="left") / n
         hi = np.searchsorted(srt, est, side="right") / n
         assert lo - 0.15 <= q <= hi + 0.15, (q, lo, hi, est)
+
+
+@given(st.lists(
+    st.tuples(
+        st.one_of(st.integers(0, 3).map(float), st.just(float("nan"))),
+        st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=6)),
+    min_size=1, max_size=20),
+    st.data())
+@settings(max_examples=60, deadline=None)
+def test_batched_grouped_merge_equals_naive_fold(partials, data):
+    """operators/agg._merge_grouped (the batched reduce side of
+    build_grouped_sketches) over ANY split of the partial rows into
+    Arrow batches must equal the naive per-group left-to-right fold of
+    the same rows in the same order — payload bytes AND n_rows — with
+    NaN group keys accumulating into ONE group across batches."""
+    import pandas as pd
+    from bloom_filters_spark.operators.agg import _merge_grouped
+
+    # partial rows in arrival order: (key, payload bytes, n_rows)
+    rows = []
+    for key, hashes in partials:
+        sk = HLLSketch(6)
+        sk.update_hashes(np.array(hashes, dtype=np.int64))
+        rows.append((key, sk.to_bytes(), len(hashes)))
+
+    # naive reference: per-group ordered fold (NaN keys canonicalized)
+    ref: dict = {}
+    for key, payload, n in rows:
+        ck = "__na__" if key != key else key
+        sk, total, _ = ref.get(ck, (None, 0, key))
+        from bloom_filters_spark.kernels import sketch_from_bytes
+        part = sketch_from_bytes(payload)
+        sk = part if sk is None else sk.merge(part)
+        ref[ck] = (sk, total + n, key)
+
+    # drive the batched fold with an arbitrary batch split
+    cuts = sorted(data.draw(st.lists(
+        st.integers(1, max(1, len(rows) - 1)), max_size=4,
+        unique=True))) if len(rows) > 1 else []
+    pieces, prev = [], 0
+    for c in cuts + [len(rows)]:
+        if c > prev:
+            pieces.append(rows[prev:c])
+            prev = c
+    batches = [pd.DataFrame({"g": [r[0] for r in piece],
+                             "payload": [r[1] for r in piece],
+                             "n_rows": [r[2] for r in piece]})
+               for piece in pieces]
+    out = list(_merge_grouped(["g"])(iter(batches)))
+    assert len(out) == 1
+    got = {}
+    for _, r in out[0].iterrows():
+        ck = "__na__" if r["g"] != r["g"] else r["g"]
+        assert ck not in got          # exactly one row per group
+        got[ck] = (bytes(r["payload"]), int(r["n_rows"]))
+    assert set(got) == set(ref)
+    for ck, (sk, total, _) in ref.items():
+        assert got[ck] == (sk.to_bytes(), total)
