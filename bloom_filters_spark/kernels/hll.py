@@ -203,3 +203,82 @@ class HLLSketch:
             regs[bufs[0].astype(np.int64)] = bufs[1]
             return cls(params["p"], regs)
         return cls(params["p"], bufs[0])
+
+
+class GroupedHLLFold:
+    """Vectorized per-group HLL fold for the GROUPED map-side combine.
+
+    ``build_grouped_sketches``' generic map side keeps a dict
+    group→sketch and calls ``update_hashes`` once per group per batch —
+    per-group Python overhead that dominates when groups are tiny (the
+    per-host web shape: ~1e8 groups of a few rows). This fold instead
+    accumulates ``(gid, register_idx, rho)`` triples for WHOLE batches
+    with numpy (no per-row or per-group work on the hot path) and
+    dedupe-compacts them to per-(gid, idx) max-rho whenever the buffer
+    doubles past the last compacted size — so resident memory is
+    O(distinct (group, register) pairs seen), the same bound as the
+    sparse-dict representation, amortized O(sort) work.
+
+    ``payload(gid)`` emits bytes EQUAL to ``HLLSketch.to_bytes()`` of
+    the equivalent sequential fold: register content is a max (order
+    free), the sparse/dense wire choice uses the same nz*5 < m rule,
+    and sparse indices come out ascending exactly like flatnonzero —
+    pinned by tests/test_kernels.py byte-identity tests."""
+
+    __slots__ = ("p", "m", "_gid", "_idx", "_rho", "_packed_len")
+
+    def __init__(self, p: int):
+        self.p = int(p)
+        self.m = 1 << self.p
+        self._gid = np.zeros(0, dtype=np.int64)
+        self._idx = np.zeros(0, dtype=np.int64)
+        self._rho = np.zeros(0, dtype=np.uint8)
+        self._packed_len = 0
+
+    def add(self, gids: np.ndarray, h1: np.ndarray) -> None:
+        h = to_u64(np.asarray(h1))
+        if h.size == 0:
+            return
+        idx = (h >> _U64(64 - self.p)).astype(np.int64)
+        w = h & ((_U64(1) << _U64(64 - self.p)) - _U64(1))
+        rho = ((64 - self.p) - bit_length_u64(w) + 1).astype(np.uint8)
+        self._gid = np.concatenate([self._gid,
+                                    np.asarray(gids, dtype=np.int64)])
+        self._idx = np.concatenate([self._idx, idx])
+        self._rho = np.concatenate([self._rho, rho])
+        if self._gid.size > max(2 * self._packed_len, 1 << 16):
+            self._compact()
+
+    def _compact(self) -> None:
+        order = np.lexsort((self._idx, self._gid))
+        g, i, r = self._gid[order], self._idx[order], self._rho[order]
+        # boundaries of distinct (gid, idx) runs in the sorted view
+        new = np.empty(g.size, dtype=bool)
+        new[0] = True
+        np.logical_or(g[1:] != g[:-1], i[1:] != i[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        self._gid, self._idx = g[starts], i[starts]
+        self._rho = np.maximum.reduceat(r, starts)
+        self._packed_len = int(starts.size)
+
+    def payloads(self, n_groups: int) -> list:
+        """→ list of payload bytes indexed by gid (0..n_groups-1);
+        gids with no rows get an empty sketch's payload."""
+        self._compact() if self._gid.size else None
+        out = []
+        bounds = np.searchsorted(self._gid, np.arange(n_groups + 1))
+        empty = HLLSketch(self.p).to_bytes()
+        for gid in range(n_groups):
+            lo, hi = int(bounds[gid]), int(bounds[gid + 1])
+            if lo == hi:
+                out.append(empty)
+                continue
+            idx, rho = self._idx[lo:hi], self._rho[lo:hi]
+            if idx.size * 5 < self.m:
+                out.append(pack("hll", {"p": self.p, "sparse": 1},
+                                idx.astype(np.uint32), rho))
+            else:
+                regs = np.zeros(self.m, dtype=np.uint8)
+                regs[idx] = rho
+                out.append(pack("hll", {"p": self.p}, regs))
+        return out

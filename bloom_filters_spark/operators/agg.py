@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..kernels import sketch_from_bytes
 from ..kernels.base import pack  # noqa: F401  (re-export for checkpoint)
+from ..kernels.hll import HLLSketch
 
 _PARTIAL_SCHEMA = "payload binary, n_rows long"
 
@@ -249,6 +250,50 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
         f"`{g}` {dict(sel.dtypes)[g]}" for g in gcols
     ) + ", payload binary, n_rows long"
 
+    # Map-side fast path for plain hash-based HLL (the per-host web
+    # shape — millions of tiny groups): whole-batch numpy fold via
+    # GroupedHLLFold instead of one update_hashes call per group per
+    # batch. Emitted payloads are byte-identical to the generic path
+    # (register max is order-free; to_bytes is a pure content function).
+    probe = factory()
+    hll_fast = (not value_based and type(probe) is HLLSketch
+                and probe.is_sparse and not probe._sparse)
+
+    def build_hll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.hll import GroupedHLLFold
+        fold = GroupedHLLFold(probe.p)
+        keymap: dict = {}   # canon key -> gid
+        origs: list = []    # gid -> original key tuple
+        counts: list = []   # gid -> n_rows
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals = pdf["__v"].to_numpy(dtype=np.int64, na_value=0)
+            codes = (pdf.groupby(gcols, sort=False, dropna=False)
+                     .ngroup().to_numpy())
+            n_local = int(codes.max()) + 1
+            _, first = np.unique(codes, return_index=True)
+            local2gid = np.empty(n_local, dtype=np.int64)
+            for c in range(n_local):           # one step per GROUP,
+                fi = int(first[c])             # not per row
+                k = tuple(pdf[g].iloc[fi] for g in gcols)
+                ck = tuple(_NA if pd.isna(e) else e for e in k)
+                gid = keymap.get(ck)
+                if gid is None:
+                    gid = keymap[ck] = len(origs)
+                    origs.append(k)
+                    counts.append(0)
+                local2gid[c] = gid
+            fold.add(local2gid[codes], vals)
+            bc = np.bincount(codes, minlength=n_local)
+            for c in range(n_local):
+                counts[local2gid[c]] += int(bc[c])
+        if origs:
+            data = {g: [k[i] for k in origs] for i, g in enumerate(gcols)}
+            data["payload"] = fold.payloads(len(origs))
+            data["n_rows"] = counts
+            yield pd.DataFrame(data)
+
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict = {}
         counts: dict = {}
@@ -276,7 +321,8 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
             data["n_rows"] = [counts[k] for k in keys]
             yield pd.DataFrame(data)
 
-    partials = sel.mapInPandas(build, schema=out_schema)
+    partials = sel.mapInPandas(build_hll if hll_fast else build,
+                               schema=out_schema)
 
     # Reduce side: repartition on the group key co-locates every
     # partial of a group, then ONE mapInPandas call per Arrow batch

@@ -795,3 +795,33 @@ def test_cbf_remove_in_different_partial_survives_merge():
     back = sketch_from_bytes(b.to_bytes())
     assert (back.counters == b.counters).all()
     assert a.merge(back).to_bytes() == merged.to_bytes()
+
+
+def test_grouped_hll_fold_byte_identical_to_sequential():
+    """GroupedHLLFold (the vectorized grouped map-side combine) must
+    emit payloads EQUAL to HLLSketch.to_bytes() of the per-group
+    sequential fold, for any batch split — including empty groups,
+    dense-promoting groups, and the sparse/dense wire boundary."""
+    import numpy as np
+    from bloom_filters_spark.kernels.hll import GroupedHLLFold, HLLSketch
+
+    rng = np.random.default_rng(3)
+    for trial in range(25):
+        p = int(rng.integers(4, 13))
+        n = int(rng.integers(1, 3000))
+        G = int(rng.integers(1, 50))
+        h = rng.integers(-2**63, 2**63, n, dtype=np.int64)
+        g = rng.integers(0, G, n, dtype=np.int64)
+        ref = []
+        for gid in range(G):
+            sk = HLLSketch(p)
+            sk.update_hashes(h[g == gid])
+            ref.append(sk.to_bytes())
+        fold = GroupedHLLFold(p)
+        cuts = np.sort(rng.integers(0, n, int(rng.integers(0, 4))))
+        prev = 0
+        for c in list(cuts) + [n]:
+            if c > prev:
+                fold.add(g[prev:c], h[prev:c])
+                prev = c
+        assert fold.payloads(G) == ref, (trial, p)
