@@ -355,7 +355,27 @@ def q_hll_bounds(spark, sf_dir):
     (a) HLL(p=12) distinct l_partkey within the published bound
     (±1.04/√m, ×4 statistical tolerance as in tests);
     (b) partials merged in opposite orders AND via the full build are
-    byte-identical (merge = elementwise max)."""
+    byte-identical (merge = elementwise max);
+    (c) the sketch ROLLUP (operators/rollup.py): per-day per-type HLL
+    partials over events, a 7-day single-type range answered by
+    merging stored partials — byte-identical to a direct build over
+    those rows, within bound of the SQL-exact distinct (the strong
+    value check: rollup_range_exact is recomputed by the oracle)."""
+    from bloom_filters_spark.operators.rollup import (query_rollup,
+                                                      rollup_sketches)
+    ev = _t(spark, sf_dir, "events")
+    cube = rollup_sketches(ev, "user_id", lambda: HLLSketch(12),
+                           time_col="ts", grain="day",
+                           group_cols=["event_type"])
+    rsk, _rn = query_rollup(cube, (F.col("event_type") == "click") &
+                            (F.col("bucket") >= "2024-01-05") &
+                            (F.col("bucket") < "2024-01-12"))
+    sliced = ev.where((F.col("event_type") == "click") &
+                      (F.date_trunc("day", "ts") >= "2024-01-05") &
+                      (F.date_trunc("day", "ts") < "2024-01-12"))
+    rdirect, _ = build_sketch(sliced, "user_id", lambda: HLLSketch(12))
+    r_exact = sliced.select("user_id").distinct().count()
+    r_tol = 4 * rsk.relative_error + 0.05
     li = _t(spark, sf_dir, "lineitem")
     exact = li.select("l_partkey").distinct().count()
     full, _ = build_sketch(li.select("l_partkey"), "l_partkey",
@@ -379,11 +399,15 @@ def q_hll_bounds(spark, sf_dir):
           fwd.to_bytes() == full.to_bytes(),
           int(full.m), float(HLLSketch(12).estimate()),
           float(_alpha(16)), float(_alpha(32)), float(_alpha(64)),
-          float(_alpha(4096)))],
+          float(_alpha(4096)),
+          int(r_exact), rsk.to_bytes() == rdirect.to_bytes(),
+          bool(abs(rsk.estimate() - r_exact) / r_exact <= r_tol))],
         "exact_distinct long, within_bound boolean, "
         "byte_identical boolean, matches_full_build boolean, "
         "m_registers long, empty_estimate double, "
-        "alpha16 double, alpha32 double, alpha64 double, alpha4096 double")
+        "alpha16 double, alpha32 double, alpha64 double, alpha4096 double, "
+        "rollup_range_exact long, rollup_merge_exact boolean, "
+        "rollup_within_bound boolean")
 
 
 def q_hll_by_lang(spark, sf_dir):
@@ -1644,7 +1668,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0.697 AS DOUBLE) AS alpha32, "
             "CAST(0.709 AS DOUBLE) AS alpha64, "
             "CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE) / 4096.0)"
-            " AS alpha4096 "
+            " AS alpha4096, "
+            "(SELECT COUNT(DISTINCT user_id) FROM events "
+            " WHERE event_type = 'click' "
+            " AND date_trunc('day', ts) >= TIMESTAMP '2024-01-05' "
+            " AND date_trunc('day', ts) < TIMESTAMP '2024-01-12') "
+            "  AS rollup_range_exact, "
+            "TRUE AS rollup_merge_exact, TRUE AS rollup_within_bound "
             "FROM lineitem",
         "hll_by_lang":
             "SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, "

@@ -1,0 +1,82 @@
+"""Re-aggregatable sketch rollups — the "sketch cube" pattern.
+
+The north-star queries ask distinct-url / distinct-host cardinality
+over a 10^12-document table "for host X last week" style: rescanning
+the table per question is the thing a sketch library exists to avoid.
+The standard production answer is a ROLLUP: build per-(time-bucket,
+group) sketch partials ONCE (one scan), store the KB-sized payloads,
+and answer any bucket subset later by MERGING stored partials — no
+second look at the data, arbitrarily re-aggregatable because merge is
+the sketch's own associative operator.
+
+For max-register sketches (HLL) the merged result is BYTE-identical
+to a direct build over the same rows — register content is an
+elementwise max, a pure function of the row set — so a rollup answer
+is not an approximation OF an approximation; it IS the sketch the
+full scan would have produced (test-pinned). Theta/CMS/KLL rollups
+are estimate-equivalent within their published merge guarantees.
+
+At 100 TB: the cube is (buckets × groups) payload rows — e.g. 365
+days × 1e6 hosts × ~100 B sparse payloads ≈ 36 GB, queryable in
+milliseconds, vs a 100 TB rescan per question. The build is exactly
+one `build_grouped_sketches` pass (map-side combine, batched reduce).
+
+Reference analogue: none — the reference's filters answer only
+whole-dataset questions (Bloom_project/src/core/Bloom_project.cpp
+menu flows build one filter per run); the rollup is the Spark-native
+extension that makes the same sketches answer sliced questions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from .agg import build_grouped_sketches, fold_payloads
+
+
+def rollup_sketches(df: DataFrame, col: str, factory: Callable, *,
+                    time_col: str, grain: str = "day",
+                    group_cols=(), seed: int = 0,
+                    value_based: bool = False,
+                    bucket_col: str = "bucket") -> DataFrame:
+    """→ DataFrame(group_cols..., bucket timestamp, payload, n_rows):
+    one mergeable sketch partial per (group, time bucket).
+
+    ``grain`` is a date_trunc unit ('hour' | 'day' | 'week' | 'month'
+    | ...). Persist/write the result once; answer slices forever with
+    ``query_rollup``. Incremental maintenance is append-only: roll up
+    ONLY the new day's rows and union — buckets never overlap, so no
+    existing row is ever rewritten."""
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"bucket_col {bucket_col!r} collides with an input column — "
+            "pass bucket_col=<free name>")
+    bucketed = df.withColumn(bucket_col,
+                             F.date_trunc(grain, F.col(time_col)))
+    return build_grouped_sketches(bucketed, col, factory,
+                                  [*group_cols, bucket_col], seed=seed,
+                                  value_based=value_based)
+
+
+def query_rollup(cube: DataFrame, predicate=None, *,
+                 max_partials: int = 65536):
+    """Merge the cube rows selected by ``predicate`` (a Column over
+    the group/bucket columns, None = all) → (sketch, n_rows).
+
+    The driver folds ≤ max_partials KB-sized payloads (a week × one
+    host = 7 rows); selecting more than ``max_partials`` raises with
+    guidance rather than silently OOMing the driver — pre-aggregate
+    with a coarser grain or a distributed merge instead."""
+    sel = cube if predicate is None else cube.where(predicate)
+    rows = sel.select("payload", "n_rows").take(max_partials + 1)
+    if len(rows) > max_partials:
+        raise ValueError(
+            f"query_rollup selected > max_partials={max_partials} cube "
+            "rows; re-roll at a coarser grain, tighten the predicate, "
+            "or raise max_partials if the driver can hold them")
+    if not rows:
+        return None, 0
+    return fold_payloads([bytes(r["payload"]) for r in rows],
+                         [r["n_rows"] for r in rows])

@@ -1,0 +1,77 @@
+"""Re-aggregatable sketch rollups (sketch cube)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bloom_filters_spark.kernels import HLLSketch
+from bloom_filters_spark.operators.agg import build_sketch
+from bloom_filters_spark.operators.rollup import (query_rollup,
+                                                  rollup_sketches)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def cube(spark, events):
+    return rollup_sketches(events, "user_id", lambda: HLLSketch(12),
+                           time_col="ts", grain="day",
+                           group_cols=["event_type"]).cache()
+
+
+def test_rollup_range_merge_byte_identical_to_direct(spark, events, cube):
+    """Merging a day range's partials == building directly over those
+    rows: same BYTES (register max is a pure function of the row set),
+    same n_rows, estimate within the published bound of exact."""
+    pred = ((F.col("event_type") == "click") &
+            (F.col("bucket") >= "2024-01-03") &
+            (F.col("bucket") < "2024-01-07"))
+    sk, n = query_rollup(cube, pred)
+    sliced = events.where(
+        (F.col("event_type") == "click") &
+        (F.date_trunc("day", "ts") >= "2024-01-03") &
+        (F.date_trunc("day", "ts") < "2024-01-07"))
+    direct, n_direct = build_sketch(sliced, "user_id",
+                                    lambda: HLLSketch(12))
+    assert n == n_direct == sliced.count() > 0
+    assert sk.to_bytes() == direct.to_bytes()
+    exact = sliced.select("user_id").distinct().count()
+    assert abs(sk.estimate() - exact) / exact \
+        <= 4 * sk.relative_error + 0.02
+
+
+def test_rollup_full_merge_equals_whole_table_build(spark, events, cube):
+    """Folding the ENTIRE cube reproduces the whole-table sketch."""
+    sk, n = query_rollup(cube)
+    full, n_full = build_sketch(events, "user_id", lambda: HLLSketch(12))
+    assert n == n_full
+    assert sk.to_bytes() == full.to_bytes()
+
+
+def test_rollup_incremental_union(spark, events):
+    """Append-only maintenance: rolling up two halves separately and
+    unioning the cubes answers identically to one rollup of the whole."""
+    first = events.where(F.col("ts") < "2024-01-15")
+    rest = events.where(F.col("ts") >= "2024-01-15")
+    c1 = rollup_sketches(first, "user_id", lambda: HLLSketch(12),
+                         time_col="ts", grain="day")
+    c2 = rollup_sketches(rest, "user_id", lambda: HLLSketch(12),
+                         time_col="ts", grain="day")
+    sk_inc, n_inc = query_rollup(c1.unionByName(c2))
+    whole = rollup_sketches(events, "user_id", lambda: HLLSketch(12),
+                            time_col="ts", grain="day")
+    sk_whole, n_whole = query_rollup(whole)
+    assert n_inc == n_whole
+    assert sk_inc.to_bytes() == sk_whole.to_bytes()
+
+
+def test_rollup_guards(spark, events, cube):
+    with pytest.raises(ValueError, match="max_partials"):
+        query_rollup(cube, max_partials=3)
+    with pytest.raises(ValueError, match="collides"):
+        rollup_sketches(events.withColumn("bucket", F.lit(1)),
+                        "user_id", lambda: HLLSketch(12), time_col="ts")
+    sk, n = query_rollup(cube, F.col("event_type") == "no_such_type")
+    assert sk is None and n == 0
