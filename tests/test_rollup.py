@@ -75,3 +75,23 @@ def test_rollup_guards(spark, events, cube):
                         "user_id", lambda: HLLSketch(12), time_col="ts")
     sk, n = query_rollup(cube, F.col("event_type") == "no_such_type")
     assert sk is None and n == 0
+
+
+def test_rollup_value_sketch_quantiles(spark, events):
+    """Rollups work for value sketches too: per-day KLL partials over
+    `value`, a range query's merged quantile lands within the rank
+    bound of the exact slice percentile."""
+    import numpy as np
+    from bloom_filters_spark.kernels import KLLSketch
+    cube = rollup_sketches(events, "value", lambda: KLLSketch(200),
+                           time_col="ts", grain="day", value_based=True)
+    pred = (F.col("bucket") >= "2024-01-10") & (F.col("bucket") < "2024-01-20")
+    sk, n = query_rollup(cube, pred)
+    sliced = events.where((F.date_trunc("day", "ts") >= "2024-01-10") &
+                          (F.date_trunc("day", "ts") < "2024-01-20"))
+    vals = np.sort(np.array([r[0] for r in sliced.select("value").collect()
+                             if r[0] is not None], dtype=np.float64))
+    assert n == vals.size > 0
+    for q in (0.25, 0.5, 0.9):
+        rank = np.searchsorted(vals, sk.quantile(q)) / vals.size
+        assert abs(rank - q) <= 0.05
