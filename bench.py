@@ -375,6 +375,71 @@ def q_ann_ivf(spark, sf_dir):
                             n_centroids=16, n_probe=4).count()
 
 
+_ROLLUP_CUBE_PATH: str | None = None
+
+
+def _staged_rollup_cube(spark):
+    """Per-(host, hour) distinct-url HLL cube over the pages table,
+    built ONCE (one grouped-build pass) and staged as parquet — the
+    rollup's whole point is that this single pass is the last time the
+    table is scanned for any slice question."""
+    global _ROLLUP_CUBE_PATH
+    if _ROLLUP_CUBE_PATH is None:
+        import tempfile
+        from bloom_filters_spark.operators.rollup import rollup_sketches
+        pages = _staged_pages(spark).select(
+            plans.host_col("url").alias("host"), "url", "warc_ts")
+        cube = rollup_sketches(pages, "url", lambda: HLLSketch(12),
+                               time_col="warc_ts", grain="hour",
+                               group_cols=["host"])
+        _ROLLUP_CUBE_PATH = os.path.join(
+            tempfile.mkdtemp(prefix="bench_cube"), "cube")
+        cube.write.parquet(_ROLLUP_CUBE_PATH)
+    return spark.read.parquet(_ROLLUP_CUBE_PATH)
+
+
+def q_rollup_slices(spark, sf_dir):
+    """Sketch-cube reuse: three (host, time-range) distinct-url
+    questions answered by merging stored per-(host, hour) partials vs
+    direct sketch builds over the pages table. The cube answers read a
+    handful of KB rows (host + bucket predicates push into the cube's
+    parquet); the direct builds rescan pages once per question — the
+    factor returned is that avoided rescan, and it grows with table
+    size. Answers are asserted BYTE-identical to the direct builds."""
+    import datetime as _dt
+    from bloom_filters_spark.operators.rollup import query_rollup
+    cube = _staged_rollup_cube(spark)
+    pages = _staged_pages(spark)
+    # windows derived from the data span so every scale factor matches
+    # rows (pages' warc_ts span grows with N_PAGES)
+    b = cube.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")) \
+        .first()
+    lo, hi = b["lo"], b["hi"] + _dt.timedelta(hours=1)
+    mid = lo + (hi - lo) / 2
+    slices = [("host00000.example", lo, mid),
+              ("host00003.example", lo, hi),
+              ("host00010.example", mid, hi)]
+    t0 = time.time()
+    merged = [query_rollup(cube, (F.col("host") == h) &
+                           (F.col("bucket") >= lo) & (F.col("bucket") < hi))
+              for h, lo, hi in slices]
+    t_cube = time.time() - t0
+    t0 = time.time()
+    direct = []
+    for h, lo, hi in slices:
+        sliced = pages.where(
+            (plans.host_col("url") == h) &
+            (F.date_trunc("hour", "warc_ts") >= lo) &
+            (F.date_trunc("hour", "warc_ts") < hi))
+        direct.append(build_sketch(sliced, "url", lambda: HLLSketch(12)))
+    t_direct = time.time() - t0
+    for (msk, mn), (dsk, dn) in zip(merged, direct):
+        assert mn == dn
+        assert mn == 0 or msk.to_bytes() == dsk.to_bytes()
+    assert sum(n for _, n in merged) > 0
+    return round(t_direct / max(t_cube, 1e-9), 1)
+
+
 QUERIES = {
     "pages_generate": q_pages_generate,
     "pages_hll_build": q_pages_hll_build,
@@ -400,6 +465,7 @@ QUERIES = {
     "tokens_topk": q_tokens_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "rollup_slices": q_rollup_slices,
 }
 
 
