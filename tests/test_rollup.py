@@ -95,3 +95,66 @@ def test_rollup_value_sketch_quantiles(spark, events):
     for q in (0.25, 0.5, 0.9):
         rank = np.searchsorted(vals, sk.quantile(q)) / vals.size
         assert abs(rank - q) <= 0.05
+
+
+def test_stream_rollup_matches_batch_cube(spark, events, tmp_path):
+    """Streamed cube (two file drops, restart between) answers every
+    slice byte-identically to the one-pass batch cube."""
+    import os
+    from bloom_filters_spark.streaming.rollup import (read_stream_cube,
+                                                      run_stream_rollup)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = events.where(F.col("ts") < "2024-01-15")
+    rest = events.where(F.col("ts") >= "2024-01-15")
+    first.write.parquet(f"{src}/a.parquet")
+    cube_dir = str(tmp_path / "cube")
+    cp = str(tmp_path / "cp")
+    schema = events.schema
+
+    def drain():
+        stream = (spark.readStream.schema(schema).parquet(f"{src}/*")
+                  .withColumn("ts", F.col("ts").cast("timestamp")))
+        run_stream_rollup(stream, cube_dir, "user_id",
+                          lambda: HLLSketch(12), time_col="ts",
+                          grain="day", group_cols=["event_type"],
+                          checkpoint_dir=cp)
+
+    drain()
+    rest.write.parquet(f"{src}/b.parquet")
+    drain()                                   # restart from checkpoint
+
+    streamed = read_stream_cube(spark, cube_dir)
+    batch = rollup_sketches(
+        events.select(F.col("ts").cast("timestamp").alias("ts"),
+                      "event_type", "user_id"),
+        "user_id", lambda: HLLSketch(12), time_col="ts", grain="day",
+        group_cols=["event_type"])
+    for pred in [None,
+                 F.col("event_type") == "click",
+                 (F.col("bucket") >= "2024-01-10") &
+                 (F.col("bucket") < "2024-01-20")]:
+        s_sk, s_n = query_rollup(streamed, pred)
+        b_sk, b_n = query_rollup(batch, pred)
+        assert s_n == b_n > 0
+        assert s_sk.to_bytes() == b_sk.to_bytes()
+
+
+def test_stream_rollup_replay_is_idempotent(spark, events, tmp_path):
+    """A replayed micro-batch overwrites its own batch directory, so
+    the cube's answer is unchanged (the at-least-once guard)."""
+    import os
+    from bloom_filters_spark.operators.rollup import rollup_sketches as rs
+    cube_dir = str(tmp_path / "cube2")
+    sel = events.select(F.col("ts").cast("timestamp").alias("ts"),
+                        "user_id")
+    part = rs(sel, "user_id", lambda: HLLSketch(12), time_col="ts",
+              grain="day")
+    part.write.mode("overwrite").parquet(f"{cube_dir}/batch=0")
+    first = spark.read.parquet(cube_dir)
+    sk1, n1 = query_rollup(first)
+    # replay: same batch id written again
+    part.write.mode("overwrite").parquet(f"{cube_dir}/batch=0")
+    again = spark.read.parquet(cube_dir)
+    sk2, n2 = query_rollup(again)
+    assert n1 == n2 and sk1.to_bytes() == sk2.to_bytes()
