@@ -132,3 +132,73 @@ class ThetaSketch:
         theta_buf, keys = bufs
         theta = int(theta_buf[0])
         return cls(params["k"], _FULL if theta == 0 else theta, keys)
+
+
+class GroupedThetaFold:
+    """Vectorized per-group theta fold for the GROUPED map-side combine
+    (same interface and rationale as ``kernels/hll.GroupedHLLFold``).
+
+    Accumulates (gid, hash) pairs whole-batch and compacts whenever the
+    buffer doubles past the last packed size: sort by (gid, key),
+    dedupe, keep each group's k+1 smallest distinct keys. Safe because
+    the FINAL k+1 smallest distinct keys of a group survive any
+    intermediate keep-k+1 trim (intermediate cuts only remove keys that
+    can never re-enter the smallest set) — exactly the argument that
+    makes ThetaSketch.merge order-invariant. Resident memory is
+    O(min(rows, groups × (k+1))) keys.
+
+    ``payload(gid)``: ≤ k retained keys → theta FULL (exact mode),
+    exactly k+1 retained → keys[:k] with theta = keys[k]; bytes equal
+    ``ThetaSketch.to_bytes()`` of the sequential fold (keys emitted
+    sorted, the same wire rule) — pinned by a randomized kernel test."""
+
+    __slots__ = ("k", "_gid", "_key", "_packed_len")
+
+    def __init__(self, k: int):
+        self.k = int(k)
+        self._gid = np.zeros(0, dtype=np.int64)
+        self._key = np.zeros(0, dtype=np.uint64)
+        self._packed_len = 0
+
+    def add(self, gids: np.ndarray, h1: np.ndarray) -> None:
+        u = to_u64(np.asarray(h1))
+        if u.size == 0:
+            return
+        self._gid = np.concatenate([self._gid,
+                                    np.asarray(gids, dtype=np.int64)])
+        self._key = np.concatenate([self._key, u])
+        if self._gid.size > max(2 * self._packed_len, 1 << 16):
+            self._compact()
+
+    def _compact(self) -> None:
+        order = np.lexsort((self._key, self._gid))
+        g, x = self._gid[order], self._key[order]
+        new = np.empty(g.size, dtype=bool)
+        new[0] = True
+        np.logical_or(g[1:] != g[:-1], x[1:] != x[:-1], out=new[1:])
+        g, x = g[new], x[new]
+        grp = np.empty(g.size, dtype=bool)
+        grp[0] = True
+        np.not_equal(g[1:], g[:-1], out=grp[1:])
+        starts = np.flatnonzero(grp)
+        rank = np.arange(g.size) - np.repeat(starts, np.diff(
+            np.append(starts, g.size)))
+        keep = rank <= self.k           # k+1 smallest per group
+        self._gid, self._key = g[keep], x[keep]
+        self._packed_len = int(self._gid.size)
+
+    def payloads(self, n_groups: int) -> list:
+        if self._gid.size:
+            self._compact()
+        bounds = np.searchsorted(self._gid, np.arange(n_groups + 1))
+        out = []
+        for gid in range(n_groups):
+            lo, hi = int(bounds[gid]), int(bounds[gid + 1])
+            keys = self._key[lo:hi]     # sorted ascending within group
+            if keys.size <= self.k:     # never trimmed: exact mode
+                theta_buf = np.zeros(1, dtype=np.uint64)
+            else:                       # exactly k+1 retained
+                theta_buf = keys[self.k:self.k + 1].copy()
+                keys = keys[:self.k]
+            out.append(pack("theta", {"k": self.k}, theta_buf, keys))
+        return out

@@ -180,6 +180,23 @@ def build_sketch(df: DataFrame, col: str, factory: Callable, *,
 _NA = object()
 
 
+def _grouped_fold_factory(probe):
+    """Vectorized grouped map-side fold for ``probe``'s sketch type,
+    or None when only the generic per-group path applies. Fast folds
+    exist for FRESH plain HLL and theta sketches (whole-batch numpy,
+    payloads byte-identical to the sequential fold — kernel-test
+    pinned); a pre-seeded or subclassed sketch falls back."""
+    from ..kernels.theta import GroupedThetaFold, ThetaSketch, _FULL
+    from ..kernels.hll import GroupedHLLFold
+    if (type(probe) is HLLSketch and probe.is_sparse
+            and not probe._sparse):
+        return lambda: GroupedHLLFold(probe.p)
+    if (type(probe) is ThetaSketch and probe.theta >= _FULL
+            and probe.keys.size == 0):
+        return lambda: GroupedThetaFold(probe.k)
+    return None
+
+
 def _merge_grouped(keycols: list[str]):
     """Batched grouped-partial fold (the reduce side of
     ``build_grouped_sketches``): one Python invocation per Arrow batch
@@ -250,18 +267,17 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
         f"`{g}` {dict(sel.dtypes)[g]}" for g in gcols
     ) + ", payload binary, n_rows long"
 
-    # Map-side fast path for plain hash-based HLL (the per-host web
-    # shape — millions of tiny groups): whole-batch numpy fold via
-    # GroupedHLLFold instead of one update_hashes call per group per
-    # batch. Emitted payloads are byte-identical to the generic path
-    # (register max is order-free; to_bytes is a pure content function).
+    # Map-side fast path for plain hash-based HLL / theta sketches
+    # (the per-host web shape — millions of tiny groups): whole-batch
+    # numpy folds (GroupedHLLFold / GroupedThetaFold) instead of one
+    # update_hashes call per group per batch. Emitted payloads are
+    # byte-identical to the generic path (register max / k-smallest
+    # keys are pure content functions, as is to_bytes).
     probe = factory()
-    hll_fast = (not value_based and type(probe) is HLLSketch
-                and probe.is_sparse and not probe._sparse)
+    fold_factory = None if value_based else _grouped_fold_factory(probe)
 
-    def build_hll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.hll import GroupedHLLFold
-        fold = GroupedHLLFold(probe.p)
+    def build_fast(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fold = fold_factory()
         keymap: dict = {}   # canon key -> gid
         origs: list = []    # gid -> original key tuple
         counts: list = []   # gid -> n_rows
@@ -321,7 +337,7 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
             data["n_rows"] = [counts[k] for k in keys]
             yield pd.DataFrame(data)
 
-    partials = sel.mapInPandas(build_hll if hll_fast else build,
+    partials = sel.mapInPandas(build_fast if fold_factory else build,
                                schema=out_schema)
 
     # Reduce side: repartition on the group key co-locates every

@@ -825,3 +825,36 @@ def test_grouped_hll_fold_byte_identical_to_sequential():
                 fold.add(g[prev:c], h[prev:c])
                 prev = c
         assert fold.payloads(G) == ref, (trial, p)
+
+
+def test_grouped_theta_fold_byte_identical_to_sequential():
+    """GroupedThetaFold payloads == ThetaSketch.to_bytes() of the
+    per-group sequential fold for any batch split — exact mode (< k
+    distinct), the k/k+1 boundary, and heavy trimming."""
+    import numpy as np
+    from bloom_filters_spark.kernels.theta import (GroupedThetaFold,
+                                                   ThetaSketch)
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        k = int(rng.choice([16, 17, 64]))
+        n = int(rng.integers(1, 4000))
+        G = int(rng.integers(1, 40))
+        h = rng.integers(-2**63, 2**63, n, dtype=np.int64)
+        # force duplicate hashes sometimes (dedupe path)
+        if trial % 3 == 0:
+            h = h[rng.integers(0, n, n)]
+        g = rng.integers(0, G, n, dtype=np.int64)
+        ref = []
+        for gid in range(G):
+            sk = ThetaSketch(k)
+            sk.update_hashes(h[g == gid])
+            ref.append(sk.to_bytes())
+        fold = GroupedThetaFold(k)
+        cuts = np.sort(rng.integers(0, n, int(rng.integers(0, 4))))
+        prev = 0
+        for c in list(cuts) + [n]:
+            if c > prev:
+                fold.add(g[prev:c], h[prev:c])
+                prev = c
+        assert fold.payloads(G) == ref, (trial, k)
