@@ -122,13 +122,56 @@ class CuckooFilter:
                     "still answers present")
         return True
 
-    # -- batch API (hash prep vectorized; placement loop per item) ----------
+    # -- batch API -----------------------------------------------------------
+    def _bulk_wave(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Place as many (bucket, fp) items as fit in the FREE slots of
+        their given bucket, whole-batch (no evictions): items are
+        stably bucket-sorted, ranked within bucket, and the first
+        ``free`` per bucket land in that bucket's empty slots — distinct
+        ranks map to distinct slots, so the scatter write is
+        conflict-free. Returns the positions (into ``buckets``) of the
+        items that did NOT fit. Deterministic (stable sort, no RNG)."""
+        n = buckets.size
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        order = np.argsort(buckets, kind="stable")
+        c = buckets[order]
+        grp = np.empty(n, dtype=bool)
+        grp[0] = True
+        np.not_equal(c[1:], c[:-1], out=grp[1:])
+        starts = np.flatnonzero(grp)
+        rank = np.arange(n) - np.repeat(starts, np.diff(
+            np.append(starts, n)))
+        rows = self.table[c]
+        free = _SLOTS - (rows != 0).sum(axis=1)
+        accept = rank < free
+        arows = c[accept]
+        # empty slots of each accepted row, ascending (stable argsort
+        # puts the False==empty positions first, in slot order)
+        es = np.argsort(self.table[arows] != 0, axis=1, kind="stable")
+        slots = es[np.arange(arows.size), rank[accept]]
+        self.table[arows, slots] = fps[order[accept]]
+        self.n_items += int(accept.sum())
+        return order[~accept]
+
+    def _bulk_place(self, b1s: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized b1-then-b2 placement; returns positions of items
+        needing the eviction path (both buckets full)."""
+        left = self._bulk_wave(b1s, fps)
+        if left.size == 0:
+            return left
+        b2 = self._alt(b1s[left], fps[left])
+        left2 = self._bulk_wave(b2, fps[left])
+        return np.sort(left[left2])
+
     def update_hashes(self, h1) -> None:
         h = to_u64(np.asarray(h1))
         fps = _fingerprints(h)
         b1s = self._b1(h)
-        for b1, fp in zip(b1s.tolist(), fps.tolist()):
-            self._insert_one(b1, fp)
+        # the common case is whole-batch (free slots in b1 or b2);
+        # only the contended tail walks the sequential kick chains
+        for i in self._bulk_place(b1s, fps).tolist():
+            self._insert_one(int(b1s[i]), int(fps[i]))
 
     def contains_hashes(self, h1) -> np.ndarray:
         h = to_u64(np.asarray(h1))
@@ -257,14 +300,26 @@ class CuckooBank:
         h = to_u64(np.asarray(h1))
         fps = _fingerprints(h)
         b1s = (h % _U64(m.nbuckets)).astype(np.int64)
-        for b1, fp in zip(b1s.tolist(), fps.tolist()):
-            homeless = m._insert_or_evict(b1, fp)
+        self._bulk_into(m, b1s, fps)
+
+    def _bulk_into(self, m: CuckooFilter, b1s: np.ndarray,
+                   fps: np.ndarray) -> None:
+        """Bulk-place into the active member; the contended tail walks
+        kick chains one item at a time until the member rolls over,
+        then the remainder bulk-places into the fresh (empty) member."""
+        pend = m._bulk_place(b1s, fps)
+        while pend.size:
+            i = int(pend[0])
+            pend = pend[1:]
+            homeless = m._insert_or_evict(int(b1s[i]), int(fps[i]))
             if homeless is not None:
                 hb, hfp = homeless
                 fresh = CuckooFilter(table=np.zeros_like(m.table))
                 fresh._insert_one(hb, hfp)   # re-home the victim
                 self.members.append(fresh)
                 m = fresh
+                if pend.size:
+                    pend = pend[m._bulk_place(b1s[pend], fps[pend])]
 
     def contains_hashes(self, h1) -> np.ndarray:
         h1 = np.asarray(h1)
@@ -295,22 +350,22 @@ class CuckooBank:
         out: list[CuckooFilter] = []
         for nbuckets, group in by_shape.items():
             shape = group[0].table.shape
-            cur = CuckooFilter(table=np.zeros(shape, dtype=np.uint16))
-            packed = [cur]
+            sub = CuckooBank(
+                [CuckooFilter(table=np.zeros(shape, dtype=np.uint16))])
             for m in group:
                 bs, ss = np.nonzero(m.table)
                 fps = m.table[bs, ss]
+                # a stored bucket is one of the entry's two homes, and
+                # alt() is an involution — so it serves as "b1" for the
+                # bulk re-insert unchanged
+                sub._bulk_into(sub.members[-1], bs.astype(np.int64), fps)
                 # stash entries are live members too: a repack that read
                 # only the table would drop them (false negatives)
-                for b, fp in list(zip(bs.tolist(), fps.tolist())) + m.stash:
-                    homeless = cur._insert_or_evict(int(b), int(fp))
-                    if homeless is not None:
-                        hb, hfp = homeless
-                        cur = CuckooFilter(
-                            table=np.zeros(shape, dtype=np.uint16))
-                        cur._insert_one(hb, hfp)
-                        packed.append(cur)
-            out.extend(p for p in packed if p.n_items > 0)
+                for b, fp in m.stash:
+                    sub._bulk_into(sub.members[-1],
+                                   np.array([b], dtype=np.int64),
+                                   np.array([fp], dtype=np.uint16))
+            out.extend(p for p in sub.members if p.n_items > 0)
         bank = CuckooBank(out or self.members[:1])
         bank._packed_len = len(bank.members)
         return bank

@@ -858,3 +858,31 @@ def test_grouped_theta_fold_byte_identical_to_sequential():
                 fold.add(g[prev:c], h[prev:c])
                 prev = c
         assert fold.payloads(G) == ref, (trial, k)
+
+
+def test_cuckoo_bulk_place_matches_sequential_membership():
+    """The wavefront bulk insert must preserve the cuckoo contract
+    exactly as the per-item path does: same n_items, no false
+    negatives on every inserted key, and removals still find every
+    copy — at load factors from sparse to the eviction regime."""
+    import numpy as np
+    from bloom_filters_spark.kernels.cuckoo import CuckooFilter, _fingerprints
+    from bloom_filters_spark.kernels.hashing import to_u64
+
+    rng = np.random.default_rng(5)
+    for load in (0.2, 0.7, 0.93):
+        n = int(1024 * load)
+        h = rng.integers(-2**63, 2**63, n, dtype=np.int64)
+        bulk = CuckooFilter(1024)
+        bulk.update_hashes(h)
+        seq = CuckooFilter(1024)
+        fps = _fingerprints(to_u64(h))
+        b1s = seq._b1(to_u64(h))
+        for b1, fp in zip(b1s.tolist(), fps.tolist()):
+            seq._insert_one(int(b1), int(fp))
+        assert bulk.n_items == seq.n_items == n
+        assert bulk.contains_hashes(h).all()
+        assert seq.contains_hashes(h).all()
+        # every inserted copy is individually removable from the bulk build
+        removed = bulk.remove_hashes(h)
+        assert removed.all() and bulk.n_items == 0
