@@ -158,3 +158,33 @@ def test_stream_rollup_replay_is_idempotent(spark, events, tmp_path):
     again = spark.read.parquet(cube_dir)
     sk2, n2 = query_rollup(again)
     assert n1 == n2 and sk1.to_bytes() == sk2.to_bytes()
+
+
+def test_rollup_theta_cube_set_ops_across_slices(spark, events):
+    """Composability: a THETA cube answers cross-slice set questions —
+    'how many users did click and purchase share in a window' — by
+    intersecting two slices' merged sketches; estimate within the KMV
+    RSE of the exact SQL intersection. The theta grouped build also
+    rides the vectorized GroupedThetaFold map path end-to-end here."""
+    from bloom_filters_spark.kernels.theta import ThetaSketch
+    cube = rollup_sketches(events, "user_id", lambda: ThetaSketch(1024),
+                           time_col="ts", grain="day",
+                           group_cols=["event_type"])
+    win = (F.col("bucket") >= "2024-01-01") & (F.col("bucket") < "2024-01-15")
+    click, _ = query_rollup(cube, (F.col("event_type") == "click") & win)
+    buy, _ = query_rollup(cube, (F.col("event_type") == "purchase") & win)
+    tw = (F.date_trunc("day", "ts") >= "2024-01-01") & \
+        (F.date_trunc("day", "ts") < "2024-01-15")
+    a = events.where(tw & (F.col("event_type") == "click")) \
+        .select("user_id").distinct()
+    b = events.where(tw & (F.col("event_type") == "purchase")) \
+        .select("user_id").distinct()
+    exact_i = a.intersect(b).count()
+    exact_u = a.union(b).distinct().count()
+    est_i = click.intersect_estimate(buy)
+    est_u = click.union_estimate(buy)
+    # intersection RSE ~ sqrt(|A∪B|/|A∩B|)/sqrt(k); generous x5 + floor
+    import math
+    tol_i = 5 * math.sqrt(max(exact_u / max(exact_i, 1), 1) / 1024)
+    assert abs(est_i - exact_i) <= max(tol_i * exact_i, 8)
+    assert abs(est_u - exact_u) / exact_u <= 5 / math.sqrt(1023) + 0.02
