@@ -311,30 +311,34 @@ def build_grouped_sketches(df: DataFrame, col: str, factory: Callable,
             yield pd.DataFrame(data)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sketches: dict = {}
-        counts: dict = {}
+        # keys canonicalized like _merge_grouped: NaN/NaT group keys
+        # accumulate into ONE entry across Arrow batches instead of
+        # fragmenting into per-batch partials
+        sketches: dict = {}   # canon key -> [sketch, n_rows, orig key]
         for pdf in batches:
             if value_based:
                 vals = pdf["__v"].to_numpy(dtype=np.float64, na_value=np.nan)
             else:
                 vals = pdf["__v"].to_numpy(dtype=np.int64, na_value=0)
-            gdf = pd.DataFrame({"__g": list(zip(*[pdf[g] for g in gcols]))})
-            for key, idx in gdf.groupby("__g").indices.items():
-                sk = sketches.get(key)
-                if sk is None:
-                    sk = sketches[key] = factory()
-                    counts[key] = 0
+            idxmap = pdf.groupby(gcols, sort=False, dropna=False).indices
+            for key, idx in idxmap.items():
+                k = key if isinstance(key, tuple) else (key,)
+                ck = tuple(_NA if pd.isna(e) else e for e in k)
+                ent = sketches.get(ck)
+                if ent is None:
+                    ent = sketches[ck] = [factory(), 0, k]
                 batch = vals[idx]
                 if value_based:
-                    sk.update_values(batch)
+                    ent[0].update_values(batch)
                 else:
-                    sk.update_hashes(batch)
-                counts[key] += len(idx)
+                    ent[0].update_hashes(batch)
+                ent[1] += len(idx)
         if sketches:
-            keys = list(sketches)
-            data = {g: [k[i] for k in keys] for i, g in enumerate(gcols)}
-            data["payload"] = [sketches[k].to_bytes() for k in keys]
-            data["n_rows"] = [counts[k] for k in keys]
+            ents = list(sketches.values())
+            data = {g: [ent[2][i] for ent in ents]
+                    for i, g in enumerate(gcols)}
+            data["payload"] = [ent[0].to_bytes() for ent in ents]
+            data["n_rows"] = [ent[1] for ent in ents]
             yield pd.DataFrame(data)
 
     partials = sel.mapInPandas(build_fast if fold_factory else build,
