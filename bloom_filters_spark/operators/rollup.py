@@ -80,3 +80,26 @@ def query_rollup(cube: DataFrame, predicate=None, *,
         return None, 0
     return fold_payloads([bytes(r["payload"]) for r in rows],
                          [r["n_rows"] for r in rows])
+
+
+def rollup_group_estimates(cube: DataFrame, group_cols, predicate=None,
+                           estimator: str = "estimate") -> DataFrame:
+    """Distributed slice query: → DataFrame(group_cols..., n_rows,
+    estimate) — one estimate per group over the cube rows selected by
+    ``predicate`` (e.g. a bucket range). The per-group fold runs on the
+    CLUSTER (repartition on the group key + the batched
+    ``_merge_grouped``), so "per-host distinct over last week" scales
+    to any group cardinality — ``query_rollup`` is the driver-side
+    single-answer twin, this is the per-group table."""
+    from .agg import _merge_grouped, estimate_grouped
+
+    gcols = list(group_cols)
+    sel = cube if predicate is None else cube.where(predicate)
+    dtypes = dict(sel.dtypes)
+    schema = ", ".join(f"`{g}` {dtypes[g]}" for g in gcols) \
+        + ", payload binary, n_rows long"
+    merged = (sel.select(*gcols, "payload", "n_rows")
+              .repartition(*gcols)
+              .mapInPandas(_merge_grouped(gcols), schema=schema))
+    return (estimate_grouped(merged, estimator=estimator)
+            .drop("payload"))

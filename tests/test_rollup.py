@@ -188,3 +188,30 @@ def test_rollup_theta_cube_set_ops_across_slices(spark, events):
     tol_i = 5 * math.sqrt(max(exact_u / max(exact_i, 1), 1) / 1024)
     assert abs(est_i - exact_i) <= max(tol_i * exact_i, 8)
     assert abs(est_u - exact_u) / exact_u <= 5 / math.sqrt(1023) + 0.02
+
+
+def test_rollup_group_estimates_distributed(spark, events, cube):
+    """Per-group slice query runs cluster-side and matches the exact
+    per-group distinct within the HLL bound (and exactly equals the
+    direct grouped build's estimates — both fold the same registers)."""
+    from bloom_filters_spark.operators.rollup import rollup_group_estimates
+    win = (F.col("bucket") >= "2024-01-03") & (F.col("bucket") < "2024-01-10")
+    got = {r["event_type"]: r for r in
+           rollup_group_estimates(cube, ["event_type"], win).collect()}
+    sliced = events.where((F.date_trunc("day", "ts") >= "2024-01-03") &
+                          (F.date_trunc("day", "ts") < "2024-01-10"))
+    exact = dict(sliced.groupBy("event_type")
+                 .agg(F.countDistinct("user_id")).collect())
+    counts = dict(sliced.groupBy("event_type").count().collect())
+    assert set(got) == set(exact)
+    tol = 4 * HLLSketch(12).relative_error + 0.02
+    for k, v in exact.items():
+        assert got[k]["n_rows"] == counts[k]
+        assert abs(got[k]["estimate"] - v) / v <= tol
+    from bloom_filters_spark.operators.agg import (build_grouped_sketches,
+                                                   estimate_grouped)
+    direct = {r["event_type"]: r["estimate"] for r in estimate_grouped(
+        build_grouped_sketches(sliced, "user_id", lambda: HLLSketch(12),
+                               ["event_type"])).collect()}
+    for k in exact:
+        assert got[k]["estimate"] == direct[k]
