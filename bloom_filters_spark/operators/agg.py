@@ -500,13 +500,15 @@ def quantiles_grouped(sketches_df: DataFrame, qs: tuple,
 
 
 def estimate_grouped(sketches_df: DataFrame, estimator: str = "estimate",
-                     out_col: str = "estimate") -> DataFrame:
-    """Apply a sketch method (e.g. HLL estimate) to each group's payload."""
+                     out_col: str = "estimate", args: tuple = ()) -> DataFrame:
+    """Apply a sketch method (e.g. HLL estimate) to each group's
+    payload; ``args`` parameterizes it — e.g.
+    ``estimator="quantile", args=(0.5,)`` for a per-group KLL median."""
 
     @F.pandas_udf("double")
     def est(payload: pd.Series) -> pd.Series:
         return pd.Series([
-            float(getattr(sketch_from_bytes(bytes(p)), estimator)())
+            float(getattr(sketch_from_bytes(bytes(p)), estimator)(*args))
             for p in payload])
 
     return sketches_df.withColumn(out_col, est(F.col("payload")))

@@ -83,7 +83,8 @@ def query_rollup(cube: DataFrame, predicate=None, *,
 
 
 def rollup_group_estimates(cube: DataFrame, group_cols, predicate=None,
-                           estimator: str = "estimate") -> DataFrame:
+                           estimator: str = "estimate",
+                           estimator_args: tuple = ()) -> DataFrame:
     """Distributed slice query: → DataFrame(group_cols..., n_rows,
     estimate) — one estimate per group over the cube rows selected by
     ``predicate`` (e.g. a bucket range). The per-group fold runs on the
@@ -101,5 +102,6 @@ def rollup_group_estimates(cube: DataFrame, group_cols, predicate=None,
     merged = (sel.select(*gcols, "payload", "n_rows")
               .repartition(*gcols)
               .mapInPandas(_merge_grouped(gcols), schema=schema))
-    return (estimate_grouped(merged, estimator=estimator)
+    return (estimate_grouped(merged, estimator=estimator,
+                             args=estimator_args)
             .drop("payload"))

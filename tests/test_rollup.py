@@ -215,3 +215,29 @@ def test_rollup_group_estimates_distributed(spark, events, cube):
                                ["event_type"])).collect()}
     for k in exact:
         assert got[k]["estimate"] == direct[k]
+
+
+def test_rollup_grouped_quantiles_over_range(spark, events):
+    """A KLL cube answers per-group quantiles over a time range:
+    rollup_group_estimates(estimator='quantile', args=(0.5,)) lands
+    within the rank bound of each group's exact slice median."""
+    import numpy as np
+    from bloom_filters_spark.kernels import KLLSketch
+    from bloom_filters_spark.operators.rollup import rollup_group_estimates
+    kcube = rollup_sketches(events, "value", lambda: KLLSketch(200),
+                            time_col="ts", grain="day",
+                            group_cols=["event_type"], value_based=True)
+    win = (F.col("bucket") >= "2024-01-05") & (F.col("bucket") < "2024-01-20")
+    got = {r["event_type"]: r["estimate"] for r in
+           rollup_group_estimates(kcube, ["event_type"], win,
+                                  estimator="quantile",
+                                  estimator_args=(0.5,)).collect()}
+    sliced = events.where((F.date_trunc("day", "ts") >= "2024-01-05") &
+                          (F.date_trunc("day", "ts") < "2024-01-20"))
+    for et, med in got.items():
+        vals = np.sort(np.array(
+            [r[0] for r in sliced.where(F.col("event_type") == et)
+             .select("value").collect() if r[0] is not None],
+            dtype=np.float64))
+        rank = np.searchsorted(vals, med) / vals.size
+        assert abs(rank - 0.5) <= 0.05, (et, med, rank)
