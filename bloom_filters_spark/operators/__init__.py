@@ -20,6 +20,8 @@ from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     verify_jaccard)
 from .sampling import (deterministic_sample, hash_split, stratified_take,
                        weighted_sample)
+from .rollup import (query_rollup, rollup_group_estimates,
+                     rollup_sketches)
 from .relational import (count_nonempty, count_rows, distinct_count,
                          exact_membership, predecessor, sort_limit,
                          successor, top_k_by_count)
@@ -53,4 +55,5 @@ __all__ = [
     "repartition_balanced", "partition_balance",
     "hash_split", "deterministic_sample", "stratified_take",
     "weighted_sample",
+    "rollup_sketches", "query_rollup", "rollup_group_estimates",
 ]
