@@ -105,3 +105,24 @@ def rollup_group_estimates(cube: DataFrame, group_cols, predicate=None,
     return (estimate_grouped(merged, estimator=estimator,
                              args=estimator_args)
             .drop("payload"))
+
+
+def compact_cube(cube: DataFrame, group_cols, *,
+                 bucket_col: str = "bucket") -> DataFrame:
+    """→ the same cube with ONE row per (group, bucket): folds
+    multi-partial buckets — e.g. a streamed cube's per-batch rows —
+    via the batched grouped merge, cluster-side. Purely a
+    read-amplification optimization for aged cubes (`query_rollup`
+    and `rollup_group_estimates` already merge whatever partials a
+    slice selects); answers are unchanged, and for max-register
+    sketches each compacted payload is BYTE-identical to a single-pass
+    build of its (group, bucket) slice."""
+    from .agg import _merge_grouped
+
+    keycols = [*group_cols, bucket_col]
+    dtypes = dict(cube.dtypes)
+    schema = ", ".join(f"`{g}` {dtypes[g]}" for g in keycols) \
+        + ", payload binary, n_rows long"
+    return (cube.select(*keycols, "payload", "n_rows")
+            .repartition(*keycols)
+            .mapInPandas(_merge_grouped(keycols), schema=schema))

@@ -241,3 +241,35 @@ def test_rollup_grouped_quantiles_over_range(spark, events):
             dtype=np.float64))
         rank = np.searchsorted(vals, med) / vals.size
         assert abs(rank - 0.5) <= 0.05, (et, med, rank)
+
+
+def test_compact_cube_halves_rows_and_preserves_answers(spark, events):
+    """Two interleaved half-cubes unioned → every bucket holds two
+    partials; compact_cube folds them to one row per (group, bucket),
+    byte-identical to the single-pass cube, with all slice answers
+    unchanged."""
+    from bloom_filters_spark.operators.rollup import compact_cube
+    even = events.where(F.pmod("event_id", F.lit(2)) == 0)
+    odd = events.where(F.pmod("event_id", F.lit(2)) == 1)
+
+    def roll(df):
+        return rollup_sketches(df, "user_id", lambda: HLLSketch(12),
+                               time_col="ts", grain="day",
+                               group_cols=["event_type"])
+
+    union = roll(even).unionByName(roll(odd))
+    whole = roll(events)
+    n_whole = whole.count()
+    assert union.count() > n_whole          # multi-partial buckets exist
+    compacted = compact_cube(union, ["event_type"])
+    assert compacted.count() == n_whole
+    want = {(r["event_type"], r["bucket"]): (bytes(r["payload"]),
+                                             r["n_rows"])
+            for r in whole.collect()}
+    got = {(r["event_type"], r["bucket"]): (bytes(r["payload"]),
+                                            r["n_rows"])
+           for r in compacted.collect()}
+    assert got == want                      # byte-identical per row
+    s1, n1 = query_rollup(compacted, F.col("event_type") == "view")
+    s2, n2 = query_rollup(union, F.col("event_type") == "view")
+    assert n1 == n2 and s1.to_bytes() == s2.to_bytes()
