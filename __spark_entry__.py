@@ -277,14 +277,26 @@ def q_ann_topk_ivf(spark, sf_dir):
     """IVF ANN (coarse-quantizer cells → candidate join → exact
     re-rank) at n_probe == n_centroids, which degrades to exact brute
     force — so the oracle is the same exact top-k SQL as ann_topk
-    (hash-exact check of the IVF plumbing end to end)."""
+    (hash-exact check of the IVF plumbing end to end). The row ALSO
+    carries recall@k at the APPROXIMATE scale-safe defaults
+    (ivf_params: n_centroids ≈ √n ⇒ 23 cells, n_probe=8 — ~1/3 cell
+    coverage): recall vs the exact top-k must clear 0.6 (measured
+    0.68–0.72 deterministic on these fixtures; seeded quantizer)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.where("vec_id < 10")
     corpus = emb.where("vec_id >= 10")
     out = sim.ann_topk_ivf(corpus, queries_df, dim=64, k=5,
                            id_col="vec_id", vec_col="embedding",
                            qid_col="vec_id", n_centroids=8, n_probe=8)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    approx = sim.ann_topk_ivf(corpus, queries_df, dim=64, k=5,
+                              id_col="vec_id", vec_col="embedding",
+                              qid_col="vec_id")
+    n_exact = out.count()
+    n_hit = approx.join(out.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"], "left_semi").count()
+    recall_ok = bool(n_exact > 0 and n_hit / n_exact >= 0.6)
+    return (out.withColumn("rank", F.col("rank").cast("long"))
+            .withColumn("approx_recall_ok", F.lit(recall_ok)))
 
 
 def q_bloom_contract(spark, sf_dir):
@@ -1647,7 +1659,8 @@ def oracle_sql() -> dict[str, str]:
                 s AS (SELECT query_id, neighbor_id,
                       round(list_cosine_similarity(cv, qv), 6) AS cosine
                       FROM c, q)
-            SELECT query_id, neighbor_id, rank, cosine FROM (
+            SELECT query_id, neighbor_id, rank, cosine,
+                   TRUE AS approx_recall_ok FROM (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
             WHERE rank <= 5""",

@@ -366,13 +366,16 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN scale path: scan n_probe/n_centroids of the corpus
-    (here 4/16) per query instead of all of it."""
+    """IVF ANN scale path at the SCALE-SAFE defaults (ivf_params:
+    n_centroids ≈ √n, n_probe constant): per-query candidate work is
+    ~n_probe·√n. The r4 bench pinned n_centroids=16, which made cell
+    population — and therefore the tier ratio — linear in the corpus
+    (measured 2.66× for 10× rows); benching the auto-scaled setting is
+    the witness that the default now tracks corpus size."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where("vec_id < 20")
     return sim.ann_topk_ivf(emb.where("vec_id >= 20"), queries_df,
-                            dim=64, k=10, qid_col="vec_id",
-                            n_centroids=16, n_probe=4).count()
+                            dim=64, k=10, qid_col="vec_id").count()
 
 
 _ROLLUP_CUBE_PATH: str | None = None

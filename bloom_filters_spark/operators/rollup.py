@@ -36,6 +36,16 @@ from pyspark.sql import DataFrame, functions as F
 from .agg import build_grouped_sketches, fold_payloads
 
 
+def _keyed_payload_schema(df: DataFrame, key_cols) -> str:
+    """Output DDL for (key_cols..., payload, n_rows) with each key
+    column in its NATIVE Spark type via ``df.schema`` ``simpleString``
+    (the same derivation as skipping._index_schema) — ``df.dtypes``'s
+    rendering can diverge from DDL for nested/exotic types."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"`{g}` {types[g]}" for g in key_cols) \
+        + ", payload binary, n_rows long"
+
+
 def rollup_sketches(df: DataFrame, col: str, factory: Callable, *,
                     time_col: str, grain: str = "day",
                     group_cols=(), seed: int = 0,
@@ -96,9 +106,7 @@ def rollup_group_estimates(cube: DataFrame, group_cols, predicate=None,
 
     gcols = list(group_cols)
     sel = cube if predicate is None else cube.where(predicate)
-    dtypes = dict(sel.dtypes)
-    schema = ", ".join(f"`{g}` {dtypes[g]}" for g in gcols) \
-        + ", payload binary, n_rows long"
+    schema = _keyed_payload_schema(sel, gcols)
     merged = (sel.select(*gcols, "payload", "n_rows")
               .repartition(*gcols)
               .mapInPandas(_merge_grouped(gcols), schema=schema))
@@ -120,9 +128,7 @@ def compact_cube(cube: DataFrame, group_cols, *,
     from .agg import _merge_grouped
 
     keycols = [*group_cols, bucket_col]
-    dtypes = dict(cube.dtypes)
-    schema = ", ".join(f"`{g}` {dtypes[g]}" for g in keycols) \
-        + ", payload binary, n_rows long"
+    schema = _keyed_payload_schema(cube, keycols)
     return (cube.select(*keycols, "payload", "n_rows")
             .repartition(*keycols)
             .mapInPandas(_merge_grouped(keycols), schema=schema))

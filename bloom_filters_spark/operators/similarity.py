@@ -180,21 +180,51 @@ def _cell_assignments(df: DataFrame, centroids: np.ndarray, *,
     return base.mapInPandas(assign, schema="id long, cell int")
 
 
+def ivf_params(corpus_rows: int, *, n_centroids: int | None = None,
+               n_probe: int | None = None,
+               sample_rows: int | None = None) -> tuple[int, int, int]:
+    """Resolve scale-safe IVF settings for a corpus of ``corpus_rows``.
+
+    Published IVF practice (FAISS guidelines; Jégou et al. 2011) sizes
+    the cell count with the corpus — ``n_centroids ≈ √n`` — and keeps
+    ``n_probe`` a small constant-ish knob, so per-query candidate work
+    is ~``n_probe·√n`` (sublinear), not ``n/const``: a FIXED cell
+    count makes every cell's population grow linearly with the corpus
+    and IVF silently degrades to brute-force-divided-by-a-constant.
+    ``sample_rows`` grows with the cell count (≥ 40 training vectors
+    per centroid) so cells never train under-determined."""
+    nc = n_centroids if n_centroids is not None else max(
+        16, int(np.ceil(np.sqrt(max(corpus_rows, 1)))))
+    npr = n_probe if n_probe is not None else min(8, nc)
+    sr = sample_rows if sample_rows is not None else max(20_000, 40 * nc)
+    return nc, npr, sr
+
+
 def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, dim: int,
                  k: int = 10, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", qid_col: str = "query_id",
-                 n_centroids: int = 16, n_probe: int = 4,
-                 sample_rows: int = 20_000, seed: int = 0) -> DataFrame:
+                 n_centroids: int | None = None, n_probe: int | None = None,
+                 sample_rows: int | None = None,
+                 corpus_rows: int | None = None, seed: int = 0) -> DataFrame:
     """IVF approximate top-k: coarse-quantizer cells → candidate join →
     exact cosine re-rank.
 
     The inverted-file structure: every corpus vector lives in exactly
     one centroid cell; a query scans only its ``n_probe`` nearest
-    cells, so the exact re-rank touches ~n_probe/n_centroids of the
-    corpus instead of all of it. ``n_probe == n_centroids`` degrades
-    to exact brute force (recall 1.0 — the oracle configuration);
-    returned rank/cosine are always EXACT (re-rank verifies), only
-    coverage is approximate."""
+    cells, so the exact re-rank touches ~n_probe·(n/n_centroids)
+    corpus rows instead of all of them. Defaults are SCALE-SAFE via
+    ``ivf_params``: ``n_centroids ≈ √n`` (one cheap ``count()`` unless
+    the caller passes ``corpus_rows``), ``n_probe`` a small constant,
+    ``sample_rows ≥ 40·n_centroids`` — per-query candidate work is
+    then ~n_probe·√n, sublinear in the corpus. ``n_probe ==
+    n_centroids`` degrades to exact brute force (recall 1.0 — the
+    oracle configuration); returned rank/cosine are always EXACT
+    (re-rank verifies), only coverage is approximate."""
+    if n_centroids is None and corpus_rows is None:
+        corpus_rows = corpus.count()
+    n_centroids, n_probe, sample_rows = ivf_params(
+        corpus_rows if corpus_rows is not None else 0,
+        n_centroids=n_centroids, n_probe=n_probe, sample_rows=sample_rows)
     C = kmeans_centroids(corpus, dim, n_centroids, vec_col=vec_col,
                          sample_rows=sample_rows, seed=seed)
     ccells = _cell_assignments(corpus, C, id_col=id_col, vec_col=vec_col,

@@ -273,3 +273,33 @@ def test_compact_cube_halves_rows_and_preserves_answers(spark, events):
     s1, n1 = query_rollup(compacted, F.col("event_type") == "view")
     s2, n2 = query_rollup(union, F.col("event_type") == "view")
     assert n1 == n2 and s1.to_bytes() == s2.to_bytes()
+
+
+def test_rollup_exotic_group_type_schema(spark, events):
+    """The cube's output DDL is derived from df.schema simpleString
+    (VERDICT r4 #5): a decimal group column — a type whose DDL carries
+    precision/scale — must survive rollup_sketches →
+    rollup_group_estimates → compact_cube with its native type and
+    per-group answers equal to the exact distincts."""
+    from bloom_filters_spark.operators.rollup import (
+        compact_cube, rollup_group_estimates)
+
+    ev = events.withColumn(
+        "grp", (F.col("user_id") % 3).cast("decimal(7,2)"))
+    cube = rollup_sketches(ev, "user_id", lambda: HLLSketch(12),
+                           time_col="ts", grain="day",
+                           group_cols=["grp"])
+    assert dict(cube.dtypes)["grp"] == "decimal(7,2)"
+    est = rollup_group_estimates(cube, ["grp"])
+    assert dict(est.dtypes)["grp"] == "decimal(7,2)"
+    exact = {str(r["grp"]): r["x"] for r in
+             ev.groupBy("grp").agg(
+                 F.countDistinct("user_id").alias("x")).collect()}
+    tol = 4 * HLLSketch(12).relative_error + 0.02
+    got = {str(r["grp"]): r["estimate"] for r in est.collect()}
+    assert set(got) == set(exact)
+    assert all(abs(got[g] - exact[g]) / exact[g] <= tol for g in exact)
+    compacted = compact_cube(cube, ["grp"])
+    assert dict(compacted.dtypes)["grp"] == "decimal(7,2)"
+    assert compacted.count() == cube.select("grp", "bucket").distinct() \
+        .count()
