@@ -372,16 +372,57 @@ def q_hll_bounds(spark, sf_dir):
     partials over events, a 7-day single-type range answered by
     merging stored partials — byte-identical to a direct build over
     those rows, within bound of the SQL-exact distinct (the strong
-    value check: rollup_range_exact is recomputed by the oracle)."""
-    from bloom_filters_spark.operators.rollup import (query_rollup,
+    value check: rollup_range_exact is recomputed by the oracle);
+    (d) STREAMED-cube maintenance (streaming/rollup.py): the same cube
+    maintained by Structured Streaming over a 3-batch replay of events
+    (maxFilesPerTrigger=1) — after compact_cube, every (event_type,
+    day) row is BYTE-identical to the batch cube's, and compaction
+    preserves the slice answer bit-for-bit (stream_cube_byte_identical
+    / compact_preserves)."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    from bloom_filters_spark.operators.rollup import (compact_cube,
+                                                      query_rollup,
                                                       rollup_sketches)
+    from bloom_filters_spark.streaming.rollup import (read_stream_cube,
+                                                      run_stream_rollup)
     ev = _t(spark, sf_dir, "events")
     cube = rollup_sketches(ev, "user_id", lambda: HLLSketch(12),
                            time_col="ts", grain="day",
                            group_cols=["event_type"])
-    rsk, _rn = query_rollup(cube, (F.col("event_type") == "click") &
-                            (F.col("bucket") >= "2024-01-05") &
-                            (F.col("bucket") < "2024-01-12"))
+    range_pred = ((F.col("event_type") == "click") &
+                  (F.col("bucket") >= "2024-01-05") &
+                  (F.col("bucket") < "2024-01-12"))
+    rsk, _rn = query_rollup(cube, range_pred)
+    with _tempfile.TemporaryDirectory() as td:
+        src = _os.path.join(td, "src")
+        ev.repartition(3).write.parquet(src)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_stream_rollup(stream, _os.path.join(td, "cube"), "user_id",
+                          lambda: HLLSketch(12), time_col="ts",
+                          grain="day", group_cols=["event_type"],
+                          checkpoint_dir=_os.path.join(td, "cp"))
+        streamed = read_stream_cube(spark, _os.path.join(td, "cube"))
+        multi_partial = streamed.count() > cube.count()
+        compacted = compact_cube(streamed, ["event_type"])
+        mism = (compacted.alias("s")
+                .join(cube.alias("b"),
+                      (F.col("s.event_type").eqNullSafe(
+                          F.col("b.event_type"))) &
+                      (F.col("s.bucket") == F.col("b.bucket")), "full")
+                .where(F.col("s.payload").isNull()
+                       | F.col("b.payload").isNull()
+                       | (F.col("s.payload") != F.col("b.payload"))
+                       | (F.col("s.n_rows") != F.col("b.n_rows")))
+                .count())
+        stream_cube_ok = bool(multi_partial and mism == 0)
+        ssk, sn = query_rollup(streamed, range_pred)
+        csk, cn = query_rollup(compacted, range_pred)
+        compact_ok = bool(sn == cn == _rn
+                          and ssk.to_bytes() == rsk.to_bytes()
+                          and csk.to_bytes() == rsk.to_bytes())
     sliced = ev.where((F.col("event_type") == "click") &
                       (F.date_trunc("day", "ts") >= "2024-01-05") &
                       (F.date_trunc("day", "ts") < "2024-01-12"))
@@ -413,13 +454,15 @@ def q_hll_bounds(spark, sf_dir):
           float(_alpha(16)), float(_alpha(32)), float(_alpha(64)),
           float(_alpha(4096)),
           int(r_exact), rsk.to_bytes() == rdirect.to_bytes(),
-          bool(abs(rsk.estimate() - r_exact) / r_exact <= r_tol))],
+          bool(abs(rsk.estimate() - r_exact) / r_exact <= r_tol),
+          stream_cube_ok, compact_ok)],
         "exact_distinct long, within_bound boolean, "
         "byte_identical boolean, matches_full_build boolean, "
         "m_registers long, empty_estimate double, "
         "alpha16 double, alpha32 double, alpha64 double, alpha4096 double, "
         "rollup_range_exact long, rollup_merge_exact boolean, "
-        "rollup_within_bound boolean")
+        "rollup_within_bound boolean, stream_cube_byte_identical boolean, "
+        "compact_preserves boolean")
 
 
 def q_hll_by_lang(spark, sf_dir):
@@ -1032,7 +1075,18 @@ def q_streaming_windowed(spark, sf_dir):
     state (`topk_per_window`): capacity 64 exceeds the event-type
     cardinality, so MG never decrements and the streamed (item, count,
     rank) triples are EXACT — checked value-for-value against the SQL
-    window-rank oracle."""
+    window-rank oracle. Round-5 folds (VERDICT r4 #4): (a) win_p50 —
+    the VALUE-BASED per-window quantile path (sketch_per_window with
+    value_based=True, emit=p50): per-day KLL(2048) median of `value`;
+    each day holds ≤ ~364 rows < k so the sketch is EXACT and the
+    emitted median equals DuckDB's quantile_disc(0.5) value-for-value
+    (rank conventions verified identical: both return the element at
+    the first cumulative weight ≥ q·n); (b) ttl_flush_ok — the SAME
+    distinct-user stream with state_ttl='1 day' over a 2-batch
+    time-ordered replay: every evicted window flushes exactly one
+    final row byte-equal to its last update, ≥20 of the 30 windows
+    evict inside the run, and final estimates match the no-TTL run."""
+    import glob
     import tempfile
     import shutil
     import os
@@ -1040,12 +1094,24 @@ def q_streaming_windowed(spark, sf_dir):
     from bloom_filters_spark.streaming import (
         run_windowed_to_memory, sketch_per_window, topk_per_window)
     ev_path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(ev_path).schema
+    ev_df = spark.read.parquet(ev_path)
+    schema = ev_df.schema
     name = f"win_q_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as td:
         src = f"{td}/src"
         os.makedirs(src)
-        shutil.copy(ev_path, f"{src}/events.parquet")
+        # two TIME-ORDERED source files (days 1-15, then 16-30): the
+        # TTL replay below needs later batches to carry only newer
+        # event time, so an evicted window can never see another row
+        split = "2024-01-16"
+        for i, half in enumerate((ev_df.where(F.col("ts") < split),
+                                  ev_df.where(F.col("ts") >= split))):
+            part = f"{td}/p{i}"
+            half.coalesce(1).write.parquet(part)
+            dst = f"{src}/events_{i}.parquet"
+            shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+            # FileStreamSource orders by mtime — pin it explicitly
+            os.utime(dst, (1_700_000_000 + 100 * i,) * 2)
         stream = (spark.readStream.schema(schema).parquet(src)
                   # watermarks need TIMESTAMP (ltz); parquet has NTZ.
                   # Session TZ is UTC so the cast is value-preserving.
@@ -1060,6 +1126,22 @@ def q_streaming_windowed(spark, sf_dir):
                                watermark="1 day")
         run_windowed_to_memory(topk, f"{name}_tk", f"{td}/cp_tk")
         tk_rows = spark.sql(f"SELECT * FROM {name}_tk").collect()
+        med = sketch_per_window(stream, "ts", "value",
+                                lambda: KLLSketch(2048),
+                                window="1 day", watermark="1 day",
+                                value_based=True,
+                                emit=lambda sk: sk.quantile(0.5))
+        run_windowed_to_memory(med, f"{name}_md", f"{td}/cp_md")
+        md_rows = spark.sql(f"SELECT * FROM {name}_md").collect()
+        ttl_stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", 1).parquet(src)
+                      .withColumn("ts", F.col("ts").cast("timestamp")))
+        ttl = sketch_per_window(ttl_stream, "ts", "user_id",
+                                lambda: HLLSketch(12),
+                                window="1 day", watermark="1 day",
+                                state_ttl="1 day")
+        run_windowed_to_memory(ttl, f"{name}_tt", f"{td}/cp_tt")
+        tt_rows = spark.sql(f"SELECT * FROM {name}_tt").collect()
     # update mode: keep the final (largest-n) row per window
     final: dict = {}
     for r in rows:
@@ -1077,6 +1159,25 @@ def q_streaming_windowed(spark, sf_dir):
             continue
         tk_final[w] = [x for x in tk_final[w]
                        if x["n_rows"] == r["n_rows"]] + [r]
+    # windowed median: single batch → exactly one row per window
+    p50 = {r["window_start"]: r["estimate"] for r in md_rows}
+    # TTL replay: per window, the final (max-n) row plus — for evicted
+    # windows — one flush row BYTE-equal to it (same sketch state)
+    tt_by_win: dict = {}
+    for r in tt_rows:
+        tt_by_win.setdefault(r["window_start"], []).append(r)
+    evicted = 0
+    ttl_ok = set(tt_by_win) == {w for w in final}
+    for w, rs in tt_by_win.items():
+        fin = max(rs, key=lambda r: r["n_rows"])
+        dups = [r for r in rs if r["n_rows"] == fin["n_rows"]]
+        if len(dups) > 1:
+            evicted += 1
+            ttl_ok &= all(r["estimate"] == fin["estimate"] for r in dups)
+        # the TTL run's final state equals the no-TTL run's
+        ttl_ok &= (fin["n_rows"] == final[w]["n_rows"]
+                   and fin["estimate"] == final[w]["estimate"])
+    ttl_ok = bool(ttl_ok and evicted >= 20)
     exact = dict(spark.read.parquet(ev_path)
                  .groupBy(F.date_trunc("day", "ts").alias("w"))
                  .agg(F.countDistinct("user_id")).collect())
@@ -1086,10 +1187,12 @@ def q_streaming_windowed(spark, sf_dir):
         within = bool(abs(r["estimate"] - exact[w]) / exact[w] <= tol)
         for t in sorted(tk_final[w], key=lambda t: t["rank"]):
             out.append((w, int(r["n_rows"]), within, int(t["rank"]),
-                        str(t["item"]), int(t["count"])))
+                        str(t["item"]), int(t["count"]),
+                        float(p50[w]), ttl_ok))
     return spark.createDataFrame(
         out, "window_start timestamp, n_rows long, within_bound boolean,"
-             " top_rank long, top_item string, top_count long")
+             " top_rank long, top_item string, top_count long,"
+             " win_p50 double, ttl_flush_ok boolean")
 
 
 def q_token_budget(spark, sf_dir):
@@ -1687,7 +1790,9 @@ def oracle_sql() -> dict[str, str]:
             " AND date_trunc('day', ts) >= TIMESTAMP '2024-01-05' "
             " AND date_trunc('day', ts) < TIMESTAMP '2024-01-12') "
             "  AS rollup_range_exact, "
-            "TRUE AS rollup_merge_exact, TRUE AS rollup_within_bound "
+            "TRUE AS rollup_merge_exact, TRUE AS rollup_within_bound, "
+            "TRUE AS stream_cube_byte_identical, "
+            "TRUE AS compact_preserves "
             "FROM lineitem",
         "hll_by_lang":
             "SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, "
@@ -1801,10 +1906,14 @@ def oracle_sql() -> dict[str, str]:
             " r AS (SELECT w, it, cnt, ROW_NUMBER() OVER"
             " (PARTITION BY w ORDER BY cnt DESC, it ASC) AS rk FROM c),"
             " n AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)"
-            " AS w, COUNT(*) AS n_rows FROM events GROUP BY 1)"
+            " AS w, COUNT(*) AS n_rows,"
+            # per-window exact discrete median: same rank convention as
+            # the KLL exact path (element at first cum weight >= q*n)
+            " quantile_disc(value, 0.5) AS p50 FROM events GROUP BY 1)"
             " SELECT r.w AS window_start, n.n_rows,"
             " TRUE AS within_bound, r.rk AS top_rank, r.it AS top_item,"
-            " r.cnt AS top_count"
+            " r.cnt AS top_count, n.p50 AS win_p50,"
+            " TRUE AS ttl_flush_ok"
             " FROM r JOIN n ON r.w = n.w WHERE r.rk <= 3",
         "streaming_dedup":
             "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
