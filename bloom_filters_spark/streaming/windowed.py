@@ -104,7 +104,13 @@ def sketch_per_window(stream_df: DataFrame, time_col: str, col: str,
     window="10 minutes", slide="5 minutes"): Spark's window() expands
     each row into every window it falls in, and each window keeps its
     own independent sketch state — nothing else changes, because the
-    state is keyed by window_start either way.
+    state is keyed by window_start either way. STATE ACCOUNTING: each
+    row feeds exactly window/slide sketch states, so a span of T event
+    time holds (T + window − slide)/slide live states — the overlap
+    factor multiplies state rows, not any single window's row count
+    (test-pinned: test_sliding_window_state_row_accounting). On an
+    unbounded stream size ``state_ttl`` from it: once eviction keeps
+    pace, resident state ≈ (watermark lag + window + ttl)/slide rows.
 
     ``state_ttl`` bounds state for unbounded window streams: each
     window's state is dropped by an EventTimeTimeout at window_end +

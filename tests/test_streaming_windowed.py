@@ -345,3 +345,37 @@ def test_windowed_sliding_sketch(spark, tmp_path):
     assert out == {t0 - dt.timedelta(minutes=5): 60,
                    t0: 100,
                    t0 + dt.timedelta(minutes=5): 40}
+
+
+def test_sliding_window_state_row_accounting(spark, tmp_path):
+    """State-row bound for sliding windows (VERDICT r4 #8): window()
+    with slide=S explodes each row into exactly W/S covering windows,
+    so a span of T event time holds (T + W - S)/S live window states —
+    the overlap factor multiplies state, NOT n_rows per window. An
+    unbounded-stream caller sizes state_ttl from this: resident state
+    ≈ (watermark_lag + W + ttl)/S rows once eviction keeps pace."""
+    from bloom_filters_spark.kernels import HLLSketch
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "acc_src")
+    # one row per minute for T=120 minutes; W=30, S=5 → overlap 6
+    rows = [(t0 + dt.timedelta(minutes=m), m) for m in range(120)]
+    _write_events(spark, src, t0, rows)
+    stream = (spark.readStream
+              .schema("ts timestamp, user_id long").parquet(src))
+    windowed = sketch_per_window(stream, "ts", "user_id",
+                                 lambda: HLLSketch(12),
+                                 window="30 minutes", slide="5 minutes",
+                                 watermark="10 minutes")
+    run_windowed_to_memory(windowed, "win_acc", str(tmp_path / "acc_cp"))
+    out = {r["window_start"]: r["n_rows"] for r in
+           spark.sql("SELECT * FROM win_acc").collect()}
+    overlap = 30 // 5
+    # exact live-state count: (T + W - S)/S covering window_starts
+    assert len(out) == (120 + 30 - 5) // 5 == 29
+    # the coarse sizing bound: ≤ (T/W + 1) × overlap tumbling-windows'
+    # worth of state rows
+    assert len(out) <= (120 // 30 + 1) * overlap
+    # every row fed exactly `overlap` window states (the multiplier is
+    # on STATE, not on any single window's row count)
+    assert sum(out.values()) == 120 * overlap
+    assert max(out.values()) == 30     # a full window sees W rows
