@@ -419,44 +419,57 @@ def q_rollup_slices(spark, sf_dir):
     return factor
 
 
-def rollup_slices_factor(spark, pages, cube) -> dict:
+def rollup_slices_factor(spark, pages, cube, grain: str = "hour") -> dict:
     """Time three (host, range) slice answers from a staged cube vs
     direct rescans of ``pages``; assert byte-identity; → {"factor",
     "t_cube", "t_direct"}. Shared with scripts/bench_sf1.py so the
-    reuse claim is measured at BOTH tiers. The component walls are the
-    scale evidence: t_direct grows with the table (three O(n)
-    rescans), t_cube tracks slice rows + fixed job overhead — at bench
-    sizes the overhead floor means the RATIO saturates, so the tier
-    claim compares the component growth rates, not the ratio."""
+    reuse claim is measured at BOTH tiers.
+
+    The six questions are FIXED absolute windows (the dashboard shape:
+    "distinct urls for host H on day D" — a question does not grow
+    because the table's history did). pages emits one row per second
+    (warc_ts = epoch + id % 30d), so each slice holds the SAME rows at
+    every tier, and the host predicate is an expression over url — not
+    pushable — so each direct build rescans the WHOLE table. The cube
+    answers ALL six in ONE job (`query_rollup_many`): t_direct grows
+    with the table × questions while t_cube stays flat, so the reuse
+    factor GROWS with table size. Windows are clipped by the data span
+    at tiny trial sizes (factor saturates there, the contract still
+    holds)."""
     import datetime as _dt
-    from bloom_filters_spark.operators.rollup import query_rollup
-    # windows derived from the data span so every scale factor matches
-    # rows (pages' warc_ts span grows with N_PAGES)
+    from bloom_filters_spark.operators.rollup import query_rollup_many
     b = cube.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi")) \
         .first()
     lo, hi = b["lo"], b["hi"] + _dt.timedelta(hours=1)
-    mid = lo + (hi - lo) / 2
-    slices = [("host00000.example", lo, mid),
-              ("host00003.example", lo, hi),
-              ("host00010.example", mid, hi)]
+    # mid day-aligned so windows stay exact bucket unions at any grain
+    mid = lo + _dt.timedelta(days=max((hi - lo).days // 2, 0))
+    day = _dt.timedelta(hours=24)
+    slices = {f"q{i}_{h}": (f"{h}.example", s, s + n_days * day)
+              for i, (h, s, n_days) in enumerate([
+                  ("host00000", lo, 1), ("host00001", mid, 1),
+                  ("host00002", lo + day, 2), ("host00003", lo, 2),
+                  ("host00005", mid, 2), ("host00010", mid, 1)])}
     t0 = time.time()
-    merged = [query_rollup(cube, (F.col("host") == h) &
-                           (F.col("bucket") >= lo) & (F.col("bucket") < hi))
-              for h, lo, hi in slices]
+    merged = query_rollup_many(cube, {
+        name: ((F.col("host") == h) & (F.col("bucket") >= s) &
+               (F.col("bucket") < e))
+        for name, (h, s, e) in slices.items()})
     t_cube = time.time() - t0
     t0 = time.time()
-    direct = []
-    for h, lo, hi in slices:
+    direct = {}
+    for name, (h, s, e) in slices.items():
         sliced = pages.where(
             (plans.host_col("url") == h) &
-            (F.date_trunc("hour", "warc_ts") >= lo) &
-            (F.date_trunc("hour", "warc_ts") < hi))
-        direct.append(build_sketch(sliced, "url", lambda: HLLSketch(12)))
+            (F.date_trunc(grain, "warc_ts") >= s) &
+            (F.date_trunc(grain, "warc_ts") < e))
+        direct[name] = build_sketch(sliced, "url", lambda: HLLSketch(12))
     t_direct = time.time() - t0
-    for (msk, mn), (dsk, dn) in zip(merged, direct):
+    for name in slices:
+        msk, mn = merged[name]
+        dsk, dn = direct[name]
         assert mn == dn
         assert mn == 0 or msk.to_bytes() == dsk.to_bytes()
-    assert sum(n for _, n in merged) > 0
+    assert sum(n for _, n in merged.values()) > 0
     return {"factor": round(t_direct / max(t_cube, 1e-9), 1),
             "t_cube": round(t_cube, 3), "t_direct": round(t_direct, 3)}
 

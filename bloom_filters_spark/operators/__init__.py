@@ -20,7 +20,8 @@ from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
                     verify_jaccard)
 from .sampling import (deterministic_sample, hash_split, stratified_take,
                        weighted_sample)
-from .rollup import (query_rollup, rollup_group_estimates,
+from .rollup import (compact_cube, query_rollup,
+                     query_rollup_many, rollup_group_estimates,
                      rollup_sketches)
 from .relational import (count_nonempty, count_rows, distinct_count,
                          exact_membership, predecessor, sort_limit,
@@ -55,5 +56,6 @@ __all__ = [
     "repartition_balanced", "partition_balance",
     "hash_split", "deterministic_sample", "stratified_take",
     "weighted_sample",
-    "rollup_sketches", "query_rollup", "rollup_group_estimates",
+    "rollup_sketches", "query_rollup", "query_rollup_many",
+    "compact_cube", "rollup_group_estimates",
 ]

@@ -92,6 +92,48 @@ def query_rollup(cube: DataFrame, predicate=None, *,
                          [r["n_rows"] for r in rows])
 
 
+def query_rollup_many(cube: DataFrame, questions: dict, *,
+                      max_questions: int = 4096) -> dict:
+    """Answer MANY slice questions from the cube in ONE cluster job:
+    ``questions`` maps name → predicate Column (over the group/bucket
+    columns); → {name: (sketch, n_rows)}, (None, 0) where nothing
+    matched.
+
+    Each cube row is tagged with every question it serves (a row may
+    serve several — e.g. overlapping time windows), exploded on the
+    tag, and folded per question with the batched grouped merge — so a
+    K-question dashboard costs ONE wide scan of the cube instead of
+    K ``query_rollup`` jobs. Only the ≤ K (payload, n) answers reach
+    the driver. For max-register sketches (HLL) each answer is
+    BYTE-identical to ``query_rollup(cube, pred)`` — register content
+    is a pure function of the selected row set; order-sensitive
+    sketches (KLL/t-digest) are estimate-equivalent within their merge
+    guarantees."""
+    from ..kernels import sketch_from_bytes
+    from .agg import _merge_grouped
+
+    if not questions:
+        return {}
+    if len(questions) > max_questions:
+        raise ValueError(
+            f"query_rollup_many got {len(questions)} questions > "
+            f"max_questions={max_questions}; batch the dashboard or "
+            "raise the cap")
+    tags = F.array_compact(F.array(*[
+        F.when(pred, F.lit(name)) for name, pred in questions.items()]))
+    tagged = cube.select(F.explode(tags).alias("__q"),
+                         "payload", "n_rows")
+    merged = (tagged.repartition("__q")
+              .mapInPandas(_merge_grouped(["__q"]),
+                           schema="`__q` string, payload binary, "
+                                  "n_rows long"))
+    out = {name: (None, 0) for name in questions}
+    for r in merged.collect():
+        out[r["__q"]] = (sketch_from_bytes(bytes(r["payload"])),
+                         int(r["n_rows"]))
+    return out
+
+
 def rollup_group_estimates(cube: DataFrame, group_cols, predicate=None,
                            estimator: str = "estimate",
                            estimator_args: tuple = ()) -> DataFrame:

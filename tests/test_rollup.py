@@ -303,3 +303,42 @@ def test_rollup_exotic_group_type_schema(spark, events):
     assert dict(compacted.dtypes)["grp"] == "decimal(7,2)"
     assert compacted.count() == cube.select("grp", "bucket").distinct() \
         .count()
+
+
+def test_query_rollup_many_one_job_matches_per_question(spark, cube):
+    """query_rollup_many answers a K-question dashboard in one cluster
+    job, byte-identical per question to K separate query_rollup calls
+    (HLL register content is a pure function of each selected row set);
+    overlapping windows are fine (a cube row may serve several
+    questions) and an empty selection maps to (None, 0)."""
+    from bloom_filters_spark.operators.rollup import query_rollup_many
+
+    qs = {
+        "click_early": ((F.col("event_type") == "click") &
+                        (F.col("bucket") < "2024-01-07")),
+        "click_all": F.col("event_type") == "click",   # overlaps above
+        "all_mid": ((F.col("bucket") >= "2024-01-05") &
+                    (F.col("bucket") < "2024-01-12")),
+        "nothing": F.col("event_type") == "no_such_type",
+    }
+    many = query_rollup_many(cube, qs)
+    assert set(many) == set(qs)
+    assert many["nothing"] == (None, 0)
+    for name, pred in qs.items():
+        sk, n = query_rollup(cube, pred)
+        msk, mn = many[name]
+        assert mn == n
+        if sk is None:
+            assert msk is None
+        else:
+            assert n > 0 and msk.to_bytes() == sk.to_bytes()
+    assert many["click_all"][1] > many["click_early"][1] > 0
+
+
+def test_query_rollup_many_guards(spark, cube):
+    from bloom_filters_spark.operators.rollup import query_rollup_many
+    assert query_rollup_many(cube, {}) == {}
+    with pytest.raises(ValueError, match="max_questions"):
+        query_rollup_many(
+            cube, {f"q{i}": F.lit(True) for i in range(5)},
+            max_questions=4)
