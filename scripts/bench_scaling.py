@@ -266,8 +266,18 @@ move through the fan-in-bounded tree merge; the probe pass is a
 broadcast + map-only scan; per-core work is vectorized numpy batch
 kernels. Regenerate: `python scripts/bench_scaling.py [n_pages]`.
 """
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # preserve the manually-maintained sections (secondary pair,
+    # round-over-round, two-tier evidence) that follow the generated
+    # scaling block in the existing file
+    path = f"{REPO}/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## Secondary pair")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":
