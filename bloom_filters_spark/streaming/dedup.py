@@ -4,6 +4,9 @@ The production shape of online url dedup at crawl scale: a parquet
 (Iceberg-shaped) table of hash-range Bloom shards is the durable
 state; each micro-batch is
 
+  0. key-DEDUPED within itself (one arbitrary representative row per
+     key — a crawl batch can carry the same url many times, and the
+     shard probe only sees PREVIOUS batches' state);
   1. PROBED against the current shard table (co-partitioned join +
      vectorized numpy probe — ``operators.sharded.probe_sharded``);
   2. rows whose key probes absent are DEFINITELY new (no false
@@ -107,7 +110,15 @@ class StreamingShardedDedup:
         return lambda cap: BloomSketch.from_capacity(floor, p)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.where(F.col(self.col).isNotNull()).cache()
+        raw = batch_df.where(F.col(self.col).isNotNull()).cache()
+        n_raw = raw.count()
+        # WITHIN-batch key dedup too: the guard's contract is "no key
+        # is ever emitted twice", and a crawl micro-batch can carry
+        # the same url many times (recrawl bursts, redirect fan-in) —
+        # the sharded probe alone only sees PREVIOUS batches' state.
+        # One arbitrary representative row per key is kept (exactly
+        # the keep-any semantics of the batch dedup operator).
+        batch_df = raw.dropDuplicates([self.col]).cache()
         shards = self.current_shards()
         if shards is None:
             new_rows = batch_df
@@ -117,7 +128,7 @@ class StreamingShardedDedup:
             new_rows = probed.where(~F.col("__seen")).drop("__seen").cache()
         n_new = new_rows.count()
         self.n_emitted += n_new
-        self.n_suppressed += batch_df.count() - n_new
+        self.n_suppressed += n_raw - n_new
         if self.emit is not None and n_new:
             self.emit(new_rows, batch_id)
         if n_new:
@@ -136,6 +147,7 @@ class StreamingShardedDedup:
         if new_rows is not batch_df:
             new_rows.unpersist()
         batch_df.unpersist()
+        raw.unpersist()
 
     def _check_saturation(self) -> float:
         """Worst shard's realized FPR over the just-written version —

@@ -161,6 +161,40 @@ def test_streaming_sharded_dedup(spark, tmp_path):
     assert guard._versions()[-1] > vs[-1]
 
 
+def test_stream_dedup_within_batch_duplicates(spark, tmp_path):
+    """A micro-batch carrying the same key several times emits exactly
+    ONE representative row for it: the guard's contract is "no key is
+    ever emitted twice", and the sharded probe alone only covers
+    PREVIOUS batches' state — within-batch copies must be deduped
+    before the probe. The extra copies count as suppressed."""
+    import shutil
+    from bloom_filters_spark.streaming import (StreamingShardedDedup,
+                                               run_stream_dedup)
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.createDataFrame([(k,) for k in (1, 1, 1, 2, 3)],
+                               "user_id long")
+    b2 = spark.createDataFrame([(k,) for k in (2, 4, 4)],
+                               "user_id long")
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        for f in (tmp_path / f"b{i}").glob("*.parquet"):
+            shutil.copy(f, src / f"batch{i}.parquet")
+    emitted: list = []
+    guard = StreamingShardedDedup(
+        spark, "user_id", str(tmp_path / "state"), n_shards=4, p=0.01,
+        shard_capacity=2048,
+        emit=lambda df, bid: emitted.extend(
+            r["user_id"] for r in df.collect()))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    run_stream_dedup(stream, guard, checkpoint_dir=str(tmp_path / "cp"))
+    assert sorted(emitted) == [1, 2, 3, 4]     # each key exactly once
+    assert guard.n_emitted == 4
+    # 2 extra 1s + 1 extra 4 within-batch, + the cross-batch seen 2
+    assert guard.n_suppressed == 4
+
+
 def test_catalog_table_kill_resume(spark, sf_dir, tmp_path):
     """LIVE DataFrameWriterV2 round trip — the exact writeTo().append()
     branch the Iceberg backend uses, executed against Spark's built-in
