@@ -1383,7 +1383,16 @@ def q_streaming_dedup(spark, sf_dir):
 def q_flagship_hll_bloom(spark, sf_dir):
     """EP3 flagship (Bloom_project/src/core/Bloom_project.cpp:4744-4834):
     HLL → leading-order rounding → sized DynBloom → probes, with every
-    north_rule bound folded into the result."""
+    north_rule bound folded into the result. Round-5 fold: the
+    MultiSketch one-pass composite (HLL + Bloom built from a SINGLE
+    table scan — the 10^12-row production shape where the scan is the
+    expensive part) must be BYTE-identical per member to standalone
+    single-sketch builds, survive a serialization round trip, and its
+    Bloom member must hold zero false negatives over the distinct
+    tokens (multi_one_pass_ok)."""
+    from bloom_filters_spark.kernels import (BloomSketch, MultiSketch,
+                                             sketch_from_bytes)
+    from bloom_filters_spark.operators.agg import build_sketch
     docs = _t(spark, sf_dir, "documents")
     toks = ts.tokenize(docs.select("text"), "text").select("token")
     out = plans.flagship_hll_bloom(toks, "token", p_hll=13, p_fpr=0.1)
@@ -1397,10 +1406,25 @@ def q_flagship_hll_bloom(spark, sf_dir):
         F.concat(F.lit("zz"), F.col("id")).alias("token"))
     fp = probe_membership(absent, "token", bf).where("seen").count()
     fpr_ok = (fp / 20_000) <= 2 * 0.1
+    multi_factory = lambda: MultiSketch(  # noqa: E731
+        [HLLSketch(13), BloomSketch.from_capacity(200_000, 0.01)])
+    multi, mn = build_sketch(toks, "token", multi_factory)
+    solo_hll, sn = build_sketch(toks, "token", lambda: HLLSketch(13))
+    solo_bf, _ = build_sketch(
+        toks, "token", lambda: BloomSketch.from_capacity(200_000, 0.01))
+    rt = sketch_from_bytes(multi.to_bytes())
+    multi_fn = (probe_membership(toks.distinct(), "token", multi[1])
+                .where(~F.col("seen")).count())
+    multi_ok = bool(mn == sn
+                    and multi[0].to_bytes() == solo_hll.to_bytes()
+                    and multi[1].to_bytes() == solo_bf.to_bytes()
+                    and rt.to_bytes() == multi.to_bytes()
+                    and multi_fn == 0)
     return spark.createDataFrame(
-        [(int(exact), bool(hll_ok), int(fn), bool(fpr_ok))],
+        [(int(exact), bool(hll_ok), int(fn), bool(fpr_ok), multi_ok)],
         "exact_distinct long, hll_within_bound boolean, "
-        "false_negatives long, fpr_within_bound boolean")
+        "false_negatives long, fpr_within_bound boolean, "
+        "multi_one_pass_ok boolean")
 
 
 def q_s6_seeded_users(spark, sf_dir):
@@ -2024,7 +2048,8 @@ def oracle_sql() -> dict[str, str]:
         "flagship_hll_bloom":
             f"SELECT COUNT(DISTINCT token) AS exact_distinct, "
             f"TRUE AS hll_within_bound, CAST(0 AS BIGINT) AS "
-            f"false_negatives, TRUE AS fpr_within_bound FROM "
+            f"false_negatives, TRUE AS fpr_within_bound, "
+            f"TRUE AS multi_one_pass_ok FROM "
             f"(SELECT unnest({_SQL_TOKS}) AS token FROM documents)",
         "s6_seeded_users":
             "SELECT 1001 - range AS id, 'User' || CAST(1001 - range AS "
