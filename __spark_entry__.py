@@ -1085,7 +1085,12 @@ def q_streaming_windowed(spark, sf_dir):
     distinct-user stream with state_ttl='1 day' over a 2-batch
     time-ordered replay: every evicted window flushes exactly one
     final row byte-equal to its last update, ≥20 of the 30 windows
-    evict inside the run, and final estimates match the no-TTL run."""
+    evict inside the run, and final estimates match the no-TTL run;
+    (c) slide_parity_ok — SLIDING windows (W=2 days, S=1 day): every
+    event feeds exactly W/S=2 window states, each sliding window's
+    final n_rows equals the exact batch count over [start, start+2d),
+    and its estimate sits within the HLL bound of the exact distinct
+    over that span."""
     import glob
     import tempfile
     import shutil
@@ -1142,6 +1147,12 @@ def q_streaming_windowed(spark, sf_dir):
                                 state_ttl="1 day")
         run_windowed_to_memory(ttl, f"{name}_tt", f"{td}/cp_tt")
         tt_rows = spark.sql(f"SELECT * FROM {name}_tt").collect()
+        sld = sketch_per_window(stream, "ts", "user_id",
+                                lambda: HLLSketch(12),
+                                window="2 days", slide="1 day",
+                                watermark="1 day")
+        run_windowed_to_memory(sld, f"{name}_sl", f"{td}/cp_sl")
+        sl_rows = spark.sql(f"SELECT * FROM {name}_sl").collect()
     # update mode: keep the final (largest-n) row per window
     final: dict = {}
     for r in rows:
@@ -1182,17 +1193,45 @@ def q_streaming_windowed(spark, sf_dir):
                  .groupBy(F.date_trunc("day", "ts").alias("w"))
                  .agg(F.countDistinct("user_id")).collect())
     tol = 4 * HLLSketch(12).relative_error + 0.02
+    # sliding windows (W=2d, S=1d — the r5 fold): each event feeds
+    # exactly W/S=2 window states; per sliding window the final n_rows
+    # must equal the exact batch count over [start, start+2d) and the
+    # estimate must sit within the HLL bound of the exact distinct
+    # over that span (exact side: explode each row into its two
+    # covering window_starts, then plain groupBy)
+    sl_final: dict = {}
+    for r in sl_rows:
+        cur = sl_final.get(r["window_start"])
+        if cur is None or r["n_rows"] > cur["n_rows"]:
+            sl_final[r["window_start"]] = r
+    sl_exact = {
+        r["w"]: (int(r["n"]), int(r["d"]))
+        for r in spark.read.parquet(ev_path)
+        .select(F.explode(F.array(
+            F.date_trunc("day", "ts"),
+            F.date_trunc("day", "ts") - F.expr("INTERVAL 1 DAY")))
+            .alias("w"), "user_id")
+        .groupBy("w").agg(F.count("*").alias("n"),
+                          F.countDistinct("user_id").alias("d"))
+        .collect()}
+    slide_ok = set(sl_final) == set(sl_exact)
+    for w, r in sl_final.items():
+        n_ex, d_ex = sl_exact.get(w, (0, 0))
+        slide_ok = (slide_ok and r["n_rows"] == n_ex
+                    and abs(r["estimate"] - d_ex) / max(d_ex, 1) <= tol)
+    slide_ok = bool(slide_ok)
     out = []
     for w, r in sorted(final.items()):
         within = bool(abs(r["estimate"] - exact[w]) / exact[w] <= tol)
         for t in sorted(tk_final[w], key=lambda t: t["rank"]):
             out.append((w, int(r["n_rows"]), within, int(t["rank"]),
                         str(t["item"]), int(t["count"]),
-                        float(p50[w]), ttl_ok))
+                        float(p50[w]), ttl_ok, slide_ok))
     return spark.createDataFrame(
         out, "window_start timestamp, n_rows long, within_bound boolean,"
              " top_rank long, top_item string, top_count long,"
-             " win_p50 double, ttl_flush_ok boolean")
+             " win_p50 double, ttl_flush_ok boolean,"
+             " slide_parity_ok boolean")
 
 
 def q_token_budget(spark, sf_dir):
@@ -1937,7 +1976,7 @@ def oracle_sql() -> dict[str, str]:
             " SELECT r.w AS window_start, n.n_rows,"
             " TRUE AS within_bound, r.rk AS top_rank, r.it AS top_item,"
             " r.cnt AS top_count, n.p50 AS win_p50,"
-            " TRUE AS ttl_flush_ok"
+            " TRUE AS ttl_flush_ok, TRUE AS slide_parity_ok"
             " FROM r JOIN n ON r.w = n.w WHERE r.rk <= 3",
         "streaming_dedup":
             "SELECT CAST(0 AS BIGINT) AS keys_emitted_twice, "
