@@ -2,7 +2,7 @@
 
 Usage: python scripts/fuzz_kernels.py [n_trials]   (default 60)
 Round-5 record: 300 trials x 10 kernels = 3000 randomized contracts,
-0 failures (IBF decode non-completion 5/300 at the minimal 3d+8 cell
+0 failures at 300 and at 1000 trials (IBF decode non-completion 7/1000 at the minimal 3d+8 cell
 sizing with d<=22 — textbook IBLT probabilistic behavior, handled by
 the reconcile operators' capacity sizing, rate-gated at 5% here).
 
