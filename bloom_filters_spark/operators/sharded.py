@@ -182,7 +182,16 @@ def remove_sharded(df: DataFrame, col: str, shards_df: DataFrame, *,
     without removals pass through untouched; a group's transient
     memory is its own removal count (split giant removal feeds into
     multiple remove_sharded passes if one shard's removals outgrow
-    executor memory)."""
+    executor memory).
+
+    CALLER CONTRACT (multiset): a key inserted c times may appear up
+    to c times across removal feeds. Removal instances BEYOND a key's
+    insert count over-remove at the configured fp rate (the per-wave
+    membership re-check can false-positive), which corrupts counters
+    shared with other keys — so if an at-least-once upstream can
+    duplicate removal rows for singly-inserted keys, ``.distinct()``
+    the feed per batch (as the oracle query does). Within-contract
+    sequences are fuzz-verified FN-free (NOTES_r5)."""
     n_shards = shard_count(shards_df)
     rem = (df.where(F.col(col).isNotNull())
            .select(hash_col(F.col(col), seed).alias("__h"))
