@@ -1526,7 +1526,13 @@ def q_string_digests(spark, sf_dir):
     checksums (poly31 HashFunctions.cpp:13-20, poly37 :28-34,
     murmur3_32 :81-137): each applied per-word over 100 fixed strings
     in a pandas UDF and SUMmed; the oracle pins the published-algorithm
-    constants (independently recomputed)."""
+    constants (independently recomputed). Round-5 fold (H7): the
+    reference cuckoo's ascii-sum / ascii-squared-sum hashes
+    (CuckooNonProbability.hpp:153-159, :171-177) as pure-JVM
+    ``aggregate(split(w, ''))`` expressions mod 1009 — DuckDB
+    RECOMPUTES these checksums from the same words (list_transform +
+    ascii), and a unit test pins the JVM expression to the python
+    parity kernels (ascii_sum_hash / ascii_sq_sum_hash)."""
     from bloom_filters_spark.kernels.hashing import murmur3_32, poly_hash
 
     @F.pandas_udf("long")
@@ -1541,11 +1547,20 @@ def q_string_digests(spark, sf_dir):
     def m3(s: pd.Series) -> pd.Series:
         return pd.Series([murmur3_32(x) for x in s])
 
+    def ascii_col(sq: bool):
+        return F.aggregate(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (F.ascii(c) * F.ascii(c) if sq
+                                  else F.ascii(c)).cast("long")) % 1009
+
     words = spark.range(100).select(
         F.concat(F.lit("word"), F.col("id")).alias("w"))
     sums = words.agg(F.sum(p31(F.col("w"))).alias("poly31_checksum"),
                      F.sum(p37(F.col("w"))).alias("poly37_checksum"),
-                     F.sum(m3(F.col("w"))).alias("murmur3_checksum"))
+                     F.sum(m3(F.col("w"))).alias("murmur3_checksum"),
+                     F.sum(ascii_col(False)).alias("ascii_sum_checksum"),
+                     F.sum(ascii_col(True)).alias("ascii_sq_checksum"))
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2110,7 +2125,16 @@ def oracle_sql() -> dict[str, str]:
             # and murmur3_32 (HashFunctions.cpp parity vectors)
             "CAST(80872690 AS BIGINT) AS poly31_checksum, "
             "CAST(84632070 AS BIGINT) AS poly37_checksum, "
-            "CAST(207274462628 AS BIGINT) AS murmur3_checksum "
+            "CAST(207274462628 AS BIGINT) AS murmur3_checksum, "
+            # H7 ascii-sum / squared-sum checksums RECOMPUTED here from
+            # the same 'word0'..'word99' fixed strings (not pinned)
+            "(SELECT CAST(SUM(list_sum(list_transform("
+            "   string_split('word' || i, ''), c -> ascii(c))) % 1009"
+            " ) AS BIGINT) FROM range(100) t(i)) AS ascii_sum_checksum, "
+            "(SELECT CAST(SUM(list_sum(list_transform("
+            "   string_split('word' || i, ''),"
+            "   c -> ascii(c) * ascii(c))) % 1009"
+            " ) AS BIGINT) FROM range(100) t(i)) AS ascii_sq_checksum "
             "FROM documents",
         "d1_collision_sweep":
             "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic, "

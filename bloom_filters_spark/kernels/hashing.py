@@ -168,6 +168,26 @@ def md5_fold(s: str) -> int:
     return h
 
 
+def ascii_sum_hash(s: str, m: int) -> int:
+    """H7 parity: the reference cuckoo's ``hash1`` — sum of the
+    string's character codes mod the bucket count
+    (Bloom_project/src/core/CuckooNonProbability.hpp:153-159). Kept as
+    a parity DIAGNOSTIC only: no operator uses it (anagram sets
+    collide wholesale — the fingerprint + partial-key hashing in
+    kernels/cuckoo.py is the production path). JVM-side twin:
+    ``aggregate(split(s, ''), 0, (acc, c) -> acc + ascii(c)) % m`` —
+    no UDF needed."""
+    return sum(ord(c) for c in s) % m
+
+
+def ascii_sq_sum_hash(s: str, m: int) -> int:
+    """H7 parity: the reference cuckoo's ``hash2`` — sum of SQUARED
+    character codes mod the bucket count
+    (Bloom_project/src/core/CuckooNonProbability.hpp:171-177). Parity
+    diagnostic only, like ``ascii_sum_hash``."""
+    return sum(ord(c) * ord(c) for c in s) % m
+
+
 # --- vectorized XXH64 (Spark F.xxhash64 parity for long/int inputs) --------
 # Constants and per-type block logic follow the public xxHash spec as
 # used by Spark's XXH64 (seed 42, streaming one value per expression:

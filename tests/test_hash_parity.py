@@ -109,3 +109,32 @@ def test_ibf_get_value_point_lookup():
     assert all(empty.get_value(i) is None for i in range(64))
     with _pt.raises(IndexError):
         ibf.get_value(64)
+
+
+def test_ascii_sum_hashes_jvm_parity(spark):
+    """H7 (CuckooNonProbability.hpp:153-159 hash1, :171-177 hash2):
+    the pure-JVM aggregate(split(...)) expressions equal the python
+    parity kernels for every probe string — including multi-byte
+    UTF-8, where both sides see codepoints (F.ascii / ord)."""
+    from pyspark.sql import functions as F
+    from bloom_filters_spark.kernels.hashing import (ascii_sq_sum_hash,
+                                                     ascii_sum_hash)
+    words = ["", "a", "abc", "cba", "word42", "The quick brown fox",
+             "élève"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+
+    def col(sq):
+        return F.aggregate(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + (F.ascii(c) * F.ascii(c) if sq
+                                  else F.ascii(c)).cast("long")) % 1009
+
+    got = {r["w"]: (r["s1"], r["s2"]) for r in df.select(
+        "w", col(False).alias("s1"), col(True).alias("s2")).collect()}
+    for w in words:
+        assert got[w] == (ascii_sum_hash(w, 1009),
+                          ascii_sq_sum_hash(w, 1009)), w
+    # anagram collision — the documented reason H7 is a diagnostic,
+    # not a production hash (hash1('abc') == hash1('cba'))
+    assert got["abc"] == got["cba"]
