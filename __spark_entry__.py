@@ -353,13 +353,32 @@ def q_bloom_contract(spark, sf_dir):
     fn2 = probe_membership(orders.distinct(), "o_orderkey", sk2,
                            seed=1).where(~F.col("seen")).count()
     seed_family_ok = (fn2 == 0 and sk2.to_bytes() != sk.to_bytes())
+    # K20 (DynBloomHLL constructor quirk — i==0 registers no hash, so
+    # the filter probes k−1 functions while reporting k,
+    # DynamicBloomHLLFilter.hpp:70-95): the opt-in quirk twin, built
+    # DISTRIBUTED over the same keys, must satisfy the algebraic
+    # identity  quirk.bits | slot0.bits == standard_k.bits  (a k=1
+    # standard filter is exactly the dropped slot 0), report the
+    # advertised k, and still hold zero false negatives. The oracle
+    # RECOMPUTES k−1 from the published sizing formulas over orders.
+    from bloom_filters_spark.kernels.bloom import K20QuirkBloom
+    skq, _ = build_sketch(orders, "o_orderkey",
+                          lambda: K20QuirkBloom(sk.m, sk.k))
+    sk0, _ = build_sketch(orders, "o_orderkey",
+                          lambda: BloomSketch(sk.m, 1))
+    fnq = probe_membership(orders.distinct(), "o_orderkey", skq) \
+        .where(~F.col("seen")).count()
+    k20_quirk_ok = bool(
+        fnq == 0 and skq.k == sk.k
+        and np.bitwise_or(skq.bits, sk0.bits).tobytes() == sk.bits.tobytes()
+        and skq.bits_set() < sk.bits_set())
     return spark.createDataFrame(
         [(int(fn), 20_000, bool(fp / 20_000 <= 2 * p),
           int(bad_idx), bool(size_ok), bool(km_ok),
-          bool(seed_family_ok))],
+          bool(seed_family_ok), int(sk.k - 1), k20_quirk_ok)],
         "false_negatives long, n_probes long, fpr_ok boolean, "
         "bad_probe_indices long, sizing_ok boolean, km_family_ok boolean, "
-        "seed_family_ok boolean")
+        "seed_family_ok boolean, k20_effective_k long, k20_quirk_ok boolean")
 
 
 def q_hll_bounds(spark, sf_dir):
@@ -1846,10 +1865,20 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
             WHERE rank <= 5""",
         "bloom_contract":
+            # k20_effective_k: the oracle RE-DERIVES the quirk's k−1
+            # from the published sizing formulas m* = ⌈−n·lnP/ln²2⌉,
+            # k* = round(ln2·m/n) over the same orders table
+            # (DynamicBloomHLLFilter.hpp:70-95 registers one fewer
+            # hash function than k* — see q_bloom_contract)
             "SELECT CAST(0 AS BIGINT) AS false_negatives, "
             "CAST(20000 AS BIGINT) AS n_probes, TRUE AS fpr_ok, "
             "CAST(0 AS BIGINT) AS bad_probe_indices, TRUE AS sizing_ok, "
-            "TRUE AS km_family_ok, TRUE AS seed_family_ok",
+            "TRUE AS km_family_ok, TRUE AS seed_family_ok, "
+            "CAST(GREATEST(1, ROUND(LN(2) * GREATEST(8, "
+            "CEIL(-COUNT(DISTINCT o_orderkey) * LN(0.01) "
+            "/ (LN(2) * LN(2)))) / COUNT(DISTINCT o_orderkey))) - 1 "
+            "AS BIGINT) AS k20_effective_k, "
+            "TRUE AS k20_quirk_ok FROM orders",
         "hll_bounds":
             "SELECT COUNT(DISTINCT l_partkey) AS exact_distinct, "
             "TRUE AS within_bound, TRUE AS byte_identical, "

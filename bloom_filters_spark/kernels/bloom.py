@@ -147,5 +147,81 @@ class BloomSketch:
         return cls(params["m"], params["k"], bufs[0], params["n"])
 
 
+@register("bloomq20")
+class K20QuirkBloom(BloomSketch):
+    """Opt-in twin reproducing the reference's DynBloomHLL quirk (K20).
+
+    The constructor copy inside DynamicBloomHLLFilter.hpp shifts every
+    registration branch up by one (i==1 → hash1, i==2 → hash2,
+    i==3 → murmur, i>3 → std::hash+i) and registers NOTHING at i==0
+    (Bloom_project/src/core/DynamicBloomHLLFilter.hpp:70-95), so the
+    filter runs with k−1 effective hash functions while
+    ``hash_f_counter`` still reports k. This class reproduces that
+    observable in our Kirsch–Mitzenmacher family: probe slots 1..k−1
+    (slot 0 dropped), ``self.k`` still the advertised k. Algebraic
+    consequence pinned by tests and the ``bloom_contract`` oracle row:
+        quirk.bits | BloomSketch(m, 1).bits == BloomSketch(m, k).bits
+    (a k=1 standard filter is exactly the dropped slot 0).
+
+    Production code must keep using :class:`BloomSketch`; this exists
+    for parity/diagnosis only, hence the separate serde kind.
+    """
+
+    __slots__ = ()
+
+    def effective_k(self) -> int:
+        """Hash functions that actually probe: k−1 (min 0) — the quirk."""
+        return max(0, self.k - 1)
+
+    def _quirk_indices(self, h1: np.ndarray) -> np.ndarray:
+        # slots 1..k-1 of the same K-M family the standard kernel uses
+        return km_indices(h1, self.k, self.m)[:, 1:]
+
+    def update_hashes(self, h1) -> None:
+        h1 = to_u64(np.asarray(h1))
+        if h1.size == 0 or self.effective_k() == 0:
+            self.n_inserted += int(h1.size)
+            return
+        idx = self._quirk_indices(h1).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3,
+                         np.uint8(1) << (idx & 7).astype(np.uint8))
+        self.n_inserted += int(h1.size)
+
+    def contains_hashes(self, h1) -> np.ndarray:
+        h1 = to_u64(np.asarray(h1))
+        if h1.size == 0:
+            return np.zeros(0, dtype=bool)
+        if self.effective_k() == 0:
+            # zero registered functions: every probe passes vacuously,
+            # matching the reference's all-of-empty loop
+            return np.ones(h1.size, dtype=bool)
+        idx = self._quirk_indices(h1)
+        probed = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return probed.all(axis=1)
+
+    def merge(self, other: "K20QuirkBloom") -> "K20QuirkBloom":
+        assert (self.m, self.k) == (other.m, other.k), "incompatible sketches"
+        return K20QuirkBloom(self.m, self.k,
+                             np.bitwise_or(self.bits, other.bits),
+                             self.n_inserted + other.n_inserted)
+
+    def expected_fpr(self) -> float:
+        return self.fill_ratio() ** self.effective_k()
+
+    def theoretical_fpr(self) -> float:
+        return bloom_fpr(self.effective_k(), self.n_inserted, self.m)
+
+    def to_bytes(self) -> bytes:
+        idx_dtype = np.uint32 if self.m <= 0xFFFFFFFF else np.int64
+        nnz = self.bits_set()
+        if nnz * np.dtype(idx_dtype).itemsize < self.bits.nbytes:
+            return pack("bloomq20", {"m": self.m, "k": self.k,
+                                     "n": self.n_inserted, "sparse": 1},
+                        self._set_bit_indices().astype(idx_dtype))
+        return pack("bloomq20",
+                    {"m": self.m, "k": self.k, "n": self.n_inserted},
+                    self.bits)
+
+
 _POPCOUNT = np.unpackbits(
     np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
