@@ -107,6 +107,42 @@ def trial_bloom(rng, seed):
     check(rt.to_bytes() == sk.to_bytes(), f"bloom roundtrip seed={seed}")
 
 
+def trial_k20_quirk(rng, seed):
+    """K20 quirk twin: chunk==bulk, roundtrip, no-FN, and the
+    quirk|slot0 == standard-k identity under random sizings."""
+    from bloom_filters_spark.kernels.bloom import (
+        BloomSketch as _B, K20QuirkBloom, optimal_k, optimal_m)
+    cap = int(rng.integers(10, 20_000))
+    pr = float(rng.choice([0.5, 0.1, 0.01, 0.001]))
+    m = optimal_m(cap, pr)
+    k = optimal_k(m, cap)
+    sk = K20QuirkBloom(m, k)
+    n = int(rng.integers(0, cap * 2))
+    hs = rand_hashes(rng, n) if n else np.array([], dtype=np.int64)
+    for ch in np.array_split(hs, max(int(rng.integers(1, 6)), 1)):
+        if len(ch):
+            sk.update_hashes(ch)
+    bulk = K20QuirkBloom(m, k)
+    if n:
+        bulk.update_hashes(hs)
+    check(sk.to_bytes() == bulk.to_bytes(), f"k20 chunk!=bulk seed={seed}")
+    rt = sketch_from_bytes(sk.to_bytes())
+    check(type(rt) is K20QuirkBloom and rt.to_bytes() == sk.to_bytes(),
+          f"k20 roundtrip seed={seed}")
+    if n:
+        check(bool(np.all(sk.contains_hashes(hs))),
+              f"k20 FALSE NEGATIVE seed={seed}")
+        std, slot0 = _B(m, k), _B(m, 1)
+        std.update_hashes(hs)
+        slot0.update_hashes(hs)
+        check(np.bitwise_or(sk.bits, slot0.bits).tobytes()
+              == std.bits.tobytes(),
+              f"k20 union identity broken seed={seed}")
+        if k >= 2:
+            check(sk.bits_set() <= std.bits_set(),
+                  f"k20 heavier than standard seed={seed}")
+
+
 def trial_cms(rng, seed):
     d = int(rng.integers(2, 7))
     w = int(rng.integers(16, 4096))
@@ -303,8 +339,9 @@ def trial_theta(rng, seed):
               f"theta union bound k={k} exact={exact_u} est={u.estimate()} seed={seed}")
 
 
-TRIALS = [trial_hll, trial_bloom, trial_cms, trial_kll, trial_tdigest,
-          trial_mg, trial_ibf, trial_cuckoo, trial_counting, trial_theta]
+TRIALS = [trial_hll, trial_bloom, trial_k20_quirk, trial_cms, trial_kll,
+          trial_tdigest, trial_mg, trial_ibf, trial_cuckoo, trial_counting,
+          trial_theta]
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 for t in range(N):
