@@ -1,0 +1,243 @@
+"""Randomized differential fuzz: dedup family + balanced partitioner.
+
+Closes the one operator family without a dedicated randomized pass
+(kernels, skipping, reconcile, sharded-delete, rollup_many all have
+one — NOTES_r4/r5). Each trial builds a random corpus with planted
+near-dup clusters and edge docs (empty, whitespace-only, single-token,
+exact duplicates, repeated-token), then checks:
+
+  1. ngram_jaccard_pairs (exact mode, df_cut=None) against an
+     INDEPENDENT python brute-force oracle that re-implements the
+     documented tokenize→shingle→jaccard semantics (lower/trim/\\s+
+     split, distinct n-gram join, whole-text shingle for short docs,
+     round(j,6) >= threshold) — pair-set equality AND per-pair jaccard
+     equality;
+  2. neardup_minhash — zero false positives (every returned pair's
+     jaccard re-derived exactly and >= threshold), returned pairs are
+     a subset of the exact-pair oracle, and a planted pair with exact
+     jaccard >= 0.9 is ALWAYS found at threshold 0.5 / 64 perms / 16
+     bands (miss probability ~(1-0.9^4)^16 < 4e-8 — a failure is a
+     bug, not luck);
+  3. neardup_simhash pigeonhole completeness — the returned pair set
+     EQUALS the brute-force all-pairs hamming<=r set over the
+     operator's own signatures (r < chunks, no bucket cap), with exact
+     hamming values;
+  4. quantile_boundaries → partition_balance — every bucket count
+     within n/k ± (2·ε·n + max tie multiplicity + 1) for KLL(200)
+     ε=0.04, over uniform / lognormal / zipf-with-ties draws.
+
+Run: python scripts/fuzz_dedup.py [n_trials]  (default 12, ~4 min)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bloom_filters_spark.session import get_spark  # noqa: E402
+from bloom_filters_spark.operators import dedup  # noqa: E402
+from bloom_filters_spark.operators.partitioning import (  # noqa: E402
+    partition_balance, quantile_boundaries)
+
+FAILS: list[str] = []
+
+
+def check(ok, msg):
+    if not ok:
+        FAILS.append(msg)
+        print("FAIL:", msg)
+
+
+# ---------------------------------------------------------------- oracle
+
+def py_tokens(text: str) -> list[str]:
+    return [t for t in text.lower().strip().split() if t != ""]
+
+
+def py_shingles(text: str, n: int) -> frozenset:
+    toks = py_tokens(text)
+    if n <= 1:
+        return frozenset(toks)
+    if len(toks) >= n:
+        return frozenset(" ".join(toks[i:i + n]) for i in
+                         range(len(toks) - n + 1))
+    if toks:
+        return frozenset([" ".join(toks)])
+    return frozenset()
+
+
+def py_jaccard(a: frozenset, b: frozenset) -> float:
+    u = len(a | b)
+    return round(len(a & b) / u, 6) if u else 0.0
+
+
+def exact_pairs(docs: dict[int, str], n: int, thr: float) -> dict:
+    sh = {i: py_shingles(t, n) for i, t in docs.items()}
+    ids = sorted(docs)
+    out = {}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i1, i2 = ids[ai], ids[bi]
+            j = py_jaccard(sh[i1], sh[i2])
+            if j >= thr:
+                out[(i1, i2)] = j
+    return out
+
+
+# --------------------------------------------------------------- corpus
+
+def make_corpus(rng) -> dict[int, str]:
+    vocab = [f"w{rng.integers(0, 10**6)}" for _ in
+             range(int(rng.integers(40, 300)))]
+    docs: dict[int, str] = {}
+    nid = 0
+    for _ in range(int(rng.integers(30, 80))):
+        ln = int(rng.integers(1, 50))
+        docs[nid] = " ".join(rng.choice(vocab, ln))
+        nid += 1
+    # planted near-dup clusters at several mutation rates
+    for rho in (0.02, 0.05, 0.15, 0.35):
+        base_id = int(rng.choice(list(docs)))
+        toks = py_tokens(docs[base_id])
+        if not toks:
+            continue
+        for _ in range(int(rng.integers(1, 3))):
+            mut = [w if rng.random() > rho else str(rng.choice(vocab))
+                   for w in toks]
+            docs[nid] = " ".join(mut)
+            nid += 1
+    # edge docs
+    docs[nid] = ""; nid += 1
+    docs[nid] = "   \t  "; nid += 1
+    docs[nid] = "solo"; nid += 1
+    docs[nid] = docs[int(rng.choice(list(docs)[:5]))]; nid += 1  # exact dup
+    docs[nid] = "rep rep rep rep rep"; nid += 1
+    return docs
+
+
+def spark_pairs(df_pairs) -> dict:
+    return {(int(r["id1"]), int(r["id2"])): float(r["jaccard"])
+            for r in df_pairs.collect()}
+
+
+# ---------------------------------------------------------------- trials
+
+def trial_ngram_exact(spark, rng, docs, sdf, seed):
+    n = int(rng.choice([1, 2, 3]))
+    thr = float(rng.choice([0.31, 0.52, 0.77]))
+    got = spark_pairs(dedup.ngram_jaccard_pairs(
+        sdf, "doc_id", "text", n=n, threshold=thr, df_cut=None))
+    want = exact_pairs(docs, n, thr)
+    check(set(got) == set(want),
+          f"ngram pair set n={n} thr={thr} seed={seed}: "
+          f"extra={set(got) - set(want)} missing={set(want) - set(got)}")
+    for k in set(got) & set(want):
+        check(abs(got[k] - want[k]) <= 1e-6,
+              f"ngram jaccard value {k} {got[k]} vs {want[k]} seed={seed}")
+
+
+def trial_minhash(spark, rng, docs, sdf, seed):
+    shingle = int(rng.choice([1, 2]))
+    got = spark_pairs(dedup.neardup_minhash(
+        sdf, "doc_id", "text", threshold=0.5, num_perm=64, bands=16,
+        seed=int(rng.integers(0, 2**31)), shingle=shingle))
+    want = exact_pairs(docs, shingle, 0.5)
+    # no false positives, values exact, subset of the exact oracle
+    for k, j in got.items():
+        check(k in want and abs(j - want[k]) <= 1e-6,
+              f"minhash FALSE POSITIVE/val {k}={j} shingle={shingle} "
+              f"seed={seed}")
+    # every >=0.9-jaccard pair must be recalled (miss prob < 4e-8/pair)
+    for k, j in want.items():
+        if j >= 0.9:
+            check(k in got,
+                  f"minhash MISSED high-sim pair {k} j={j} "
+                  f"shingle={shingle} seed={seed}")
+
+
+def trial_simhash_complete(spark, rng, docs, sdf, seed):
+    chunks = int(rng.choice([8, 16]))
+    r = int(rng.integers(1, chunks))  # r < chunks → pigeonhole-complete
+    hseed = int(rng.integers(0, 2**31))
+    sigs = {int(row["id"]): int(row["simhash"]) for row in
+            dedup.simhash_signatures(sdf, "doc_id", "text",
+                                     seed=hseed).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            i1, i2 = ids[ai], ids[bi]
+            d = bin((sigs[i1] ^ sigs[i2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= r:
+                want[(i1, i2)] = d
+    out = dedup.neardup_simhash(sdf, "doc_id", "text", max_hamming=r,
+                                chunks=chunks, seed=hseed)
+    got = {(int(x["id1"]), int(x["id2"])): int(x["hamming"])
+           for x in out.collect()}
+    check(got == want,
+          f"simhash completeness chunks={chunks} r={r} seed={seed}: "
+          f"extra={set(got) - set(want)} missing={set(want) - set(got)} "
+          f"or hamming mismatch")
+
+
+def trial_partitioner(spark, rng, seed):
+    kind = rng.choice(["uniform", "lognormal", "zipf_ties"])
+    n = int(rng.integers(2_000, 20_000))
+    if kind == "uniform":
+        vals = rng.uniform(-1e6, 1e6, n)
+    elif kind == "lognormal":
+        vals = rng.lognormal(3.0, 2.0, n)
+    else:
+        vals = rng.zipf(1.7, n).clip(max=10_000).astype(float)
+    k = int(rng.choice([4, 8, 16]))
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    cuts, _sk, _n = quantile_boundaries(df, "v", k)
+    counts = {int(x["bucket"]): int(x["n_rows"]) for x in
+              partition_balance(df, "v", cuts).collect()}
+    check(sum(counts.values()) == n,
+          f"partitioner lost rows {sum(counts.values())}!={n} seed={seed}")
+    _, tie = np.unique(vals, return_counts=True)
+    bound = n / k + 2 * 0.04 * n + int(tie.max()) + 1
+    for b, c in counts.items():
+        check(c <= bound,
+              f"partitioner bucket {b} count {c} > bound {bound:.0f} "
+              f"dist={kind} k={k} seed={seed}")
+
+
+def main():
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    spark = get_spark("fuzz-dedup", cores=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in range(n_trials):
+        seed = 7_700_000 + t
+        rng = np.random.default_rng(seed)
+        docs = make_corpus(rng)
+        sdf = spark.createDataFrame(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        for fn in (trial_ngram_exact, trial_minhash, trial_simhash_complete):
+            try:
+                fn(spark, rng, docs, sdf, seed)
+            except Exception as e:  # noqa: BLE001
+                import traceback
+                FAILS.append(f"{fn.__name__} seed={seed}: {e!r}")
+                traceback.print_exc()
+        try:
+            trial_partitioner(spark, rng, seed)
+        except Exception as e:  # noqa: BLE001
+            import traceback
+            FAILS.append(f"trial_partitioner seed={seed}: {e!r}")
+            traceback.print_exc()
+        print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
+    print(f"done: {n_trials} trials x 4 properties, {len(FAILS)} failures")
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
