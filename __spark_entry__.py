@@ -1819,7 +1819,8 @@ def oracle_sql() -> dict[str, str]:
                        THEN 0.4 ELSE 0.0 END)
                     + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
                     + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
-                    + least(sraw * 4, 1.0) * 0.2, 4) AS quality_score
+                    + least(coalesce(sraw, 0.0) * 4, 1.0) * 0.2, 4)
+                    AS quality_score
                 FROM c)
             SELECT stats.doc_id, n_tokens, n_distinct_tokens,
                    type_token_ratio, lang_guess, fingerprint_md5,

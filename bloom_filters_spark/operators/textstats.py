@@ -71,15 +71,17 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     length_ok = (F.size(toks) >= 5) & (F.size(toks) <= 100_000)
     punct_ratio = punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
     rep_ratio = 1.0 - F.size(F.array_distinct(toks)) / n_tok.cast("double")
-    # coalesce the stopword credit: F.least SKIPS null arguments, so a
-    # NULL text (stop_ratio NULL) would otherwise collect the full 0.2
-    # as least(NULL, 1.0) = 1.0 — a NULL document must score 0, not
-    # "ideal stopword density"
+    # coalesce the stopword ratio BEFORE least: F.least SKIPS null
+    # arguments, so least(NULL, 1.0) is already the non-NULL 1.0 and a
+    # coalesce wrapped AROUND it never fires — a NULL text (stop_ratio
+    # NULL) would collect the full 0.2 as "ideal stopword density"
+    # instead of scoring 0 (fuzz_text_media caught the outside-coalesce
+    # form doing exactly that)
     score = (F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
              + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
              + F.when(rep_ratio < 0.9, F.lit(0.2)).otherwise(F.lit(0.0))
-             + (F.coalesce(F.least(stop_ratio * 4, F.lit(1.0)),
-                           F.lit(0.0)) * 0.2))
+             + (F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 4,
+                        F.lit(1.0)) * 0.2))
     return (df.withColumn("punct_ratio", F.round(punct_ratio, 4))
             .withColumn("stopword_ratio", F.round(stop_ratio, 4))
             .withColumn("repetition_ratio", F.round(rep_ratio, 4))

@@ -1,0 +1,295 @@
+"""Randomized differential fuzz for textstats and multimodal codecs.
+
+Text part — an INDEPENDENT pure-python re-implementation of the
+documented semantics (ASCII-\\s whitespace tokenizer, lowercase,
+HALF_UP 4dp rounding — all probed against Spark literals before this
+harness was written) is compared value-for-value against the JVM-side
+expressions over adversarial random documents: empty, whitespace-only,
+punctuation-only, NBSP-joined tokens (NOT a token break under Java's
+ASCII \\s — pinned here so a regex change that silently flips unicode
+semantics fails the fuzz), mixed-case, repeated tokens, multilingual
+stopword markers (incl. Cyrillic), digits, and NULL rows:
+
+  1. with_token_stats: n_tokens / n_chars / n_distinct /
+     avg_token_len / type_token_ratio exactly;
+  2. with_quality_score: punct/stopword/repetition ratios and the
+     composite score exactly (incl. NULL text -> score 0.0);
+  3. with_lang_id: argmax + tie-break + 'und' exactly;
+  4. with_fingerprint: md5 canon and the rolling polynomial exactly.
+
+Media part — random P5/P6 images (random sizes, 8- and 16-bit,
+adversarial-but-legal headers with comments and mixed whitespace),
+random corruptions (bad magic, truncated raster, zero dims):
+
+  5. netpbm_decode(encode(a)) == a / maxval exactly, including
+     hand-built headers the encoder never emits;
+  6. extract_features flags every corrupt row ok=false and every good
+     row ok=true; resize_images drops corrupt rows, output payloads
+     re-decode to the nearest-neighbor grid of the source exactly;
+  7. sample_frames == a python slice oracle (ceil split, stride).
+
+Run: python scripts/fuzz_text_media.py [n_trials]   (default 10)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bloom_filters_spark.operators import multimodal as mm  # noqa: E402
+from bloom_filters_spark.operators import textstats as ts  # noqa: E402
+from bloom_filters_spark.session import get_spark  # noqa: E402
+
+FAILS: list[str] = []
+
+
+def check(ok, msg):
+    if not ok:
+        FAILS.append(msg)
+        print("FAIL:", msg)
+
+
+# ------------------------------------------------------------ text oracle
+
+def _round4(x: float) -> float:
+    return float(Decimal(x).quantize(Decimal("0.0001"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _tokens(s: str) -> list[str]:
+    return [t for t in re.split(r"\s+", s.lower(), flags=re.ASCII)
+            if t != ""]
+
+
+_PUNCT = set(range(33, 48)) | set(range(58, 65)) | \
+    set(range(91, 97)) | set(range(123, 127))
+
+
+def text_oracle(s: str) -> dict:
+    toks = _tokens(s)
+    n = len(toks)
+    dist = sorted(set(toks))
+    nd = len(dist)
+    nosp = re.sub(r"\s+", "", s, flags=re.ASCII)
+    out = {
+        "n_tokens": n,
+        "n_chars_calc": len(s),
+        "n_distinct_tokens": nd,
+        "avg_token_len": _round4(len(nosp) / max(n, 1)),
+        "type_token_ratio": _round4(nd / max(n, 1)),
+    }
+    punct = sum(1 for ch in s if ord(ch) in _PUNCT)
+    punct_ratio = punct / max(len(s), 1)
+    stop_ratio = (len(set(dist) & set(ts.STOPWORDS)) / max(nd, 1))
+    rep_ratio = 1.0 - nd / max(n, 1)
+    length_ok = 5 <= n <= 100_000
+    score = (0.4 if length_ok else 0.0)
+    score = score + (0.2 if punct_ratio < 0.2 else 0.0)
+    score = score + (0.2 if rep_ratio < 0.9 else 0.0)
+    score = score + min(stop_ratio * 4, 1.0) * 0.2
+    out.update({
+        "punct_ratio": _round4(punct_ratio),
+        "stopword_ratio": _round4(stop_ratio),
+        "repetition_ratio": _round4(rep_ratio),
+        "quality_score": _round4(score),
+    })
+    hits = {code: len(set(dist) & set(ws))
+            for code, ws in ts.LANG_MARKERS.items()}
+    best = max(sorted(hits), key=lambda c: (hits[c], c))
+    out["lang_guess"] = best if hits[best] > 0 else "und"
+    out["fingerprint_md5"] = hashlib.md5(
+        " ".join(dist).encode("utf-8")).hexdigest()
+    acc = 0
+    for t in toks:
+        acc = (acc * 131 + len(t) * 31 + (ord(t[0]) + 7)) % 1_000_000_007
+    out["fingerprint_roll"] = acc
+    return out
+
+
+_WORD_POOLS = [
+    ["the", "and", "of", "to", "in"],                  # en markers
+    ["der", "die", "und", "ist"],                      # de markers
+    ["и", "в", "не", "на", "что"],                     # ru markers (cyrillic)
+    ["le", "la", "les", "est"],                        # fr markers
+    ["alpha", "Bravo", "CHARLIE", "d3lta", "échos"],   # mixed case/accents
+    ["!!!", "?!", "...", "[ok]", "{x}", "a,b,c"],      # punctuation-heavy
+    ["123", "4.5", "0x1f"],                            # digits
+]
+_SEPS = [" ", "  ", "\t", "\n", "\r\n", " \t "]
+
+
+def random_doc(rng) -> str:
+    style = rng.integers(0, 10)
+    if style == 0:
+        return ""
+    if style == 1:
+        return str(rng.choice([" ", "\t\t", " \n ", "   "]))
+    if style == 2:
+        return str(rng.choice(["!!!", "???", ",.;:", "[]{}"]))
+    if style == 3:                                     # NBSP-joined tokens
+        return "the\xa0quick brown\xa0fox and the lazy dog"
+    n_words = int(rng.integers(1, 60))
+    words = []
+    for _ in range(n_words):
+        pool = _WORD_POOLS[int(rng.integers(0, len(_WORD_POOLS)))]
+        w = str(pool[int(rng.integers(0, len(pool)))])
+        if rng.random() < 0.1:
+            w = w * int(rng.integers(1, 4))            # repetition
+        words.append(w)
+    if rng.random() < 0.3:                             # heavy repetition doc
+        words = [words[0]] * len(words)
+    sep = str(_SEPS[int(rng.integers(0, len(_SEPS)))])
+    doc = sep.join(words)
+    if rng.random() < 0.3:
+        doc = " " + doc + "\n"
+    return doc
+
+
+_TEXT_COLS = ["n_tokens", "n_chars_calc", "n_distinct_tokens",
+              "avg_token_len", "type_token_ratio", "punct_ratio",
+              "stopword_ratio", "repetition_ratio", "quality_score",
+              "lang_guess", "fingerprint_md5", "fingerprint_roll"]
+
+
+def trial_text(spark, rng, seed):
+    docs = [random_doc(rng) for _ in range(int(rng.integers(30, 120)))]
+    rows = [(i, d) for i, d in enumerate(docs)] + [(len(docs), None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ts.with_fingerprint(
+        ts.with_lang_id(ts.with_quality_score(ts.with_token_stats(df))))
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for i, d in enumerate(docs):
+        want = text_oracle(d)
+        g = got[i]
+        for c in _TEXT_COLS:
+            check(g[c] == want[c],
+                  f"textstats {c} doc={i} seed={seed}: "
+                  f"got={g[c]!r} want={want[c]!r} text={d!r}")
+    check(got[len(docs)]["quality_score"] == 0.0,
+          f"NULL text quality_score {got[len(docs)]['quality_score']} "
+          f"!= 0.0 seed={seed}")
+
+
+# ----------------------------------------------------------- media oracle
+
+def _adversarial_header(rng, magic: bytes, w: int, h: int,
+                        maxval: int) -> bytes:
+    """A legal-but-weird Netpbm header: comments + mixed whitespace."""
+    parts = [magic]
+    fields = [str(w).encode(), str(h).encode(), str(maxval).encode()]
+    for fld in fields:
+        ws = rng.choice([b"\n", b" ", b"\t", b"\n\n ", b" \t"])
+        parts.append(bytes(ws))
+        if rng.random() < 0.4:
+            parts.append(b"# a comment %d\n" % int(rng.integers(0, 99)))
+        parts.append(fld)
+    parts.append(b"\n")
+    return b"".join(parts)
+
+
+def trial_media(spark, rng, seed):
+    n_good = int(rng.integers(5, 15))
+    payloads, arrays = [], []
+    for i in range(n_good):
+        h = int(rng.integers(1, 33))
+        w = int(rng.integers(1, 33))
+        rgb = rng.random() < 0.4
+        wide = rng.random() < 0.3
+        maxval = 65535 if wide else 255
+        shape = (h, w, 3) if rgb else (h, w)
+        a = rng.integers(0, maxval + 1, shape)
+        raster = (a.astype(">u2") if wide else
+                  a.astype(np.uint8)).tobytes()
+        hdr = _adversarial_header(rng, b"P6" if rgb else b"P5",
+                                  w, h, maxval)
+        payloads.append(hdr + raster)
+        arrays.append(a.astype(np.float32) / np.float32(maxval))
+
+    # direct decode parity on the adversarial headers
+    for i, (p, a) in enumerate(zip(payloads, arrays)):
+        got = mm.netpbm_decode(p)
+        check(got.shape == a.shape and np.array_equal(got, a),
+              f"netpbm_decode mismatch img={i} seed={seed}")
+
+    corrupt = [
+        b"JFIF not a pnm",
+        payloads[0][: len(payloads[0]) // 2],          # truncated raster
+        b"P5\n0 5\n255\n" + b"\x00" * 32,              # zero width
+        b"P5\n4 4\n70000\n" + b"\x00" * 32,            # maxval too big
+        bytes([0, 1, 2]),
+        None,
+    ]
+    rows = ([(i, "image", p, (0, 0, 1, 0)) for i, p in enumerate(payloads)]
+            + [(100 + j, "image", c, (0, 0, 1, 0))
+               for j, c in enumerate(corrupt)])
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r["ok"]
+             for r in mm.extract_features(df).collect()}
+    for i in range(n_good):
+        check(feats[i] is True, f"good img {i} flagged !ok seed={seed}")
+    for j in range(len(corrupt)):
+        check(feats[100 + j] is False,
+              f"corrupt img {j} not flagged seed={seed}")
+
+    tw = int(rng.integers(1, 17))
+    th = int(rng.integers(1, 17))
+    rez = {r["media_id"]: bytes(r["payload"])
+           for r in mm.resize_images(df, tw, th).collect()}
+    check(set(rez) == set(range(n_good)),
+          f"resize kept wrong row set {sorted(rez)} seed={seed}")
+    for i, a in enumerate(arrays):
+        yi = np.linspace(0, a.shape[0] - 1, th).astype(int)
+        xi = np.linspace(0, a.shape[1] - 1, tw).astype(int)
+        want = np.clip(np.rint(a[np.ix_(yi, xi)] * 255.0), 0,
+                       255).astype(np.uint8) / np.float32(255)
+        got = mm.netpbm_decode(rez[i])
+        check(got.shape == want.shape and np.array_equal(
+            got.astype(np.float32), want.astype(np.float32)),
+            f"resize round-trip mismatch img={i} seed={seed}")
+
+    fb = int(rng.integers(3, 80))
+    ev = int(rng.integers(1, 4))
+    frames = {}
+    for r in mm.sample_frames(df, every_n=ev, frame_bytes=fb).collect():
+        frames.setdefault(r["media_id"], {})[r["frame_idx"]] = \
+            bytes(r["frame"])
+    for i, p in enumerate(payloads):
+        n_frames = -(-len(p) // fb)
+        want_idx = list(range(0, n_frames, ev))
+        got_f = frames.get(i, {})
+        check(sorted(got_f) == want_idx,
+              f"sample_frames idx mismatch img={i} seed={seed}")
+        for fi in want_idx:
+            check(got_f.get(fi) == p[fi * fb:(fi + 1) * fb],
+                  f"sample_frames bytes mismatch img={i} f={fi} "
+                  f"seed={seed}")
+
+
+def main():
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("fuzz-text-media", cores=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in range(n_trials):
+        seed = 9_500_000 + t
+        rng = np.random.default_rng(seed)
+        trial_text(spark, rng, seed)
+        trial_media(spark, rng, seed)
+        print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
+    print(f"done: {n_trials} text+media trials, {len(FAILS)} failures")
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,21 @@ def test_quality_score_range(spark, docs):
                    | (F.col("quality_score") > 1)).count() == 0
 
 
+def test_quality_score_null_text_scores_zero(spark):
+    # a NULL document must score 0, not collect the 0.2 stopword
+    # credit via least(NULL, 1.0) = 1.0 (F.least skips NULL args —
+    # the coalesce must sit INSIDE the least, on the ratio itself)
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["quality_score"]
+            for r in with_quality_score(df).collect()}
+    assert rows[1] == 0.0
+    # empty text: no length band, no stopwords, rep_ratio 1-0/1=1.0
+    # fails <0.9, punct_ratio 0/1=0 passes -> exactly the 0.2 punct
+    # credit
+    assert rows[2] == 0.2
+
+
 def test_lang_id_deterministic(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog is in that house for now"),
