@@ -81,7 +81,11 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
 
     Rows with NULL, NaN, or non-positive weight are excluded (zero
     weight = never sampled, the A-ES limit; NaN would otherwise pass
-    Spark's ``> 0`` under its NaN-greatest ordering). Scaling every
+    Spark's ``> 0`` under its NaN-greatest ordering), and so are rows
+    with a NULL key: a NULL key has no content address — its md5 draw
+    is NULL, its score is NULL, and Spark's ascending sort puts NULLs
+    FIRST, so NULL-key rows would otherwise displace every real row
+    from the sample (found by fuzzing). Scaling every
     weight by a constant leaves the selection unchanged (monotone
     transform of the order). Score ties (e.g. two +inf weights, or a
     52-bit u collision within a weight class at ~2^26-row scale) are
@@ -95,7 +99,8 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col: str,
                            F.lit(f"#{seed}"))), 1, 13),
          16, 10).cast("double") + F.lit(1.0)) / F.lit(float(1 << 52))
     score = -F.log(u) / w
-    return (df.where(w.isNotNull() & ~F.isnan(w) & (w > 0))
+    return (df.where(F.col(key_col).isNotNull()
+                     & w.isNotNull() & ~F.isnan(w) & (w > 0))
             .withColumn("__ws", score)
             .orderBy("__ws", F.col(key_col)).limit(k)
             .drop("__ws"))

@@ -244,11 +244,12 @@ def trial_heavy(spark, rng, seed):
 
 def trial_sampling(spark, rng, seed):
     n = int(rng.integers(2000, 10000))
-    keys = np.array([f"k{seed}_{i}" for i in range(n)])
+    keys = np.array([f"k{seed}_{i}" for i in range(n)], dtype="object")
     wts = rng.lognormal(0, 2, n).astype("object")
     wts[rng.random(n) < 0.02] = 0.0
     wts[rng.random(n) < 0.02] = float("nan")
     wts[rng.random(n) < 0.02] = None
+    keys[rng.random(n) < 0.02] = None     # NULL keys: never sampled
     pdf = pd.DataFrame({"k": keys, "w": wts})
     df = spark.createDataFrame(pdf).select(
         "k", F.col("w").cast("double"))
@@ -260,8 +261,8 @@ def trial_sampling(spark, rng, seed):
     # independent pandas re-derivation of the A-ES draw
     scored = []
     for key, wt in zip(keys, wts):
-        if wt is None or (isinstance(wt, float) and
-                          (math.isnan(wt) or wt <= 0)):
+        if key is None or wt is None or (isinstance(wt, float) and
+                                         (math.isnan(wt) or wt <= 0)):
             continue
         h = hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:13]
         u = (int(h, 16) + 1.0) / float(1 << 52)

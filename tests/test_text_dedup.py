@@ -449,9 +449,11 @@ def test_weighted_sample(spark):
           sp.weighted_sample(df, "k", "w", 300, seed=7).collect()}
     assert s4 != s1
     # zero / NULL / NaN weights are excluded outright (NaN would pass
-    # Spark's `> 0` under its NaN-greatest total order)
+    # Spark's `> 0` under its NaN-greatest total order), and so are
+    # NULL keys — a NULL key draws a NULL score, and ascending sort
+    # puts NULLs FIRST, so NULL-key rows would displace every real row
     z = spark.createDataFrame(
-        [(1, 0.0), (2, None), (3, 2.0), (4, float("nan"))],
+        [(1, 0.0), (2, None), (3, 2.0), (4, float("nan")), (None, 9.0)],
         "k long, w double")
     assert [r["k"] for r in
             sp.weighted_sample(z, "k", "w", 10).collect()] == [3]
