@@ -112,7 +112,14 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep-first exact dedup: one row per distinct text, smallest id
     wins. The shuffle key is a 128-bit text fingerprint (two seeded
-    xxhash64 halves), not the text itself."""
+    xxhash64 halves), not the text itself.
+
+    NULL counts as ONE distinct text (SQL GROUP-BY semantics, and what
+    the DuckDB oracle computes): ALL NULL-text rows collapse to the
+    smallest-id one. In a crawl table where NULL text means
+    "not fetched yet" — millions of rows — that deletes all but one of
+    them; filter ``text IS NOT NULL`` first if absent-text rows must
+    survive dedup."""
     h1, h2 = _text_fingerprint(text_col)
     w = Window.partitionBy(h1, h2).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))

@@ -157,8 +157,16 @@ def select_token_budget(df: DataFrame, budget_tokens: int, *,
     than its range slice."""
     from ..operators.textstats import tokens_col, with_quality_score
 
+    # NULL text = 0 tokens: size(tokens) of a NULL text is NULL, and a
+    # range partition holding ONLY such rows (the quality-0 tail of a
+    # crawl table, where NULL text means "not fetched") would sum to a
+    # NULL partial total and crash the driver-side offset fold
+    # (int(None)). Coalescing to 0 matches the SQL-window oracle, where
+    # SUM skips NULLs: a token-less row rides budget-free at the tail.
     scored = (with_quality_score(df)
-              .withColumn("__ntok", F.size(tokens_col(text_col))))
+              .withColumn("__ntok",
+                          F.coalesce(F.size(tokens_col(text_col)),
+                                     F.lit(0))))
     ranged = scored.repartitionByRange(
         partitions, F.desc("quality_score"), F.asc(id_col))
     # PERSIST before the two downstream actions: repartitionByRange

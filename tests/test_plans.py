@@ -109,3 +109,20 @@ def test_select_token_budget_distributed_cumsum(spark, sf_dir):
     total = (scored.where(F.col("doc_id").isin(list(got)))
              .agg(F.sum("ntok")).first()[0])
     assert total <= budget
+
+
+def test_select_token_budget_null_text_partitions(spark):
+    """A range partition holding ONLY NULL-text rows (the quality-0
+    tail of a crawl table) used to sum to a NULL partial total and
+    crash the driver-side offset fold (int(None)). NULL text counts
+    as 0 tokens; the real docs' selection is unaffected."""
+    from bloom_filters_spark.plans.queries import select_token_budget
+
+    rows = [(i, f"solid text with tokens number {i} inside it ok")
+            for i in range(40)]
+    rows += [(1000 + j, None) for j in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 select_token_budget(df, 250, partitions=8).collect())
+    assert got                                # selected something
+    assert all(i < 1000 for i in got)         # budget bound real docs
