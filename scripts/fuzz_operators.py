@@ -121,6 +121,25 @@ def trial_skipping(spark, rng, seed, work):
     check(0 <= stats["files_scanned"] <= stats["files_total"],
           f"skipping stats insane {stats} seed={seed}")
 
+    # range scan: random [lo, hi] (sometimes empty/everything) must be
+    # bit-identical to the full-scan between filter, NULL/NaN included
+    if kind == "long":
+        lo, hi = sorted(rng.integers(-2 * 10**9, 2 * 10**9, 2))
+        lo, hi = int(lo), int(hi)
+    elif kind == "double":
+        lo, hi = sorted(rng.normal(0, 2e6, 2))
+        lo, hi = float(lo), float(hi)
+    else:
+        lo, hi = sorted([f"k{int(rng.integers(0, 10**10)):012d}"
+                         for _ in range(2)])
+    rgot, rstats = sk.pruned_range_scan(spark, path, idx, "k", lo, hi)
+    rwant = spark.read.parquet(path).where(
+        (F.col("k") >= F.lit(lo)) & (F.col("k") <= F.lit(hi)))
+    check(_rows(rgot) == _rows(rwant),
+          f"range-scan mismatch kind={kind} [{lo},{hi}] seed={seed}")
+    check(0 <= rstats["files_scanned"] <= rstats["files_total"],
+          f"range-scan stats insane {rstats} seed={seed}")
+
 
 # --------------------------------------------------------------- 2. reconcile
 
@@ -185,11 +204,29 @@ def trial_reconcile(spark, rng, seed):
         if not same:
             want[int(i)] = "changed"
 
-    cap = max(64, 2 * (n_add + n_rm + 2 * len(np.asarray(chg_idx))))
+    # IBF peel non-completion is PROBABILISTIC (a stopping set can
+    # occur at any finite sizing — observed once with 9 items in 64
+    # cells across hundreds of fuzzed shard decodes) and the operator
+    # fails LOUDLY there by design, telling the caller to raise the
+    # bound. The fuzz tests CLASSIFICATION, so it does what a caller
+    # does: retry at a larger capacity. Two escalations both failing
+    # would be a real defect.
+    cap = max(128, 4 * (n_add + n_rm + 2 * len(np.asarray(chg_idx))))
     n_shards = int(rng.choice([8, 16, 32]))
-    got_df = reconcile_rows(ldf, rdf, "id", ["v1", "v2"],
-                            diff_capacity=cap, n_shards=n_shards,
-                            seed=seed)
+    got_df = None
+    for capm in (cap, 4 * cap, 16 * cap):
+        try:
+            got_df = reconcile_rows(ldf, rdf, "id", ["v1", "v2"],
+                                    diff_capacity=capm,
+                                    n_shards=n_shards, seed=seed)
+            break
+        except ValueError:
+            print(f"# reconcile decode non-completion at cap={capm} "
+                  f"seed={seed}; escalating")
+    check(got_df is not None,
+          f"reconcile failed to decode at 16x capacity seed={seed}")
+    if got_df is None:
+        return
     got = {int(r["id"]): r["status"] for r in got_df.collect()}
     check(got == want,
           f"reconcile mismatch seed={seed}: extra="
