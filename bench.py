@@ -403,13 +403,18 @@ def _staged_rollup_cube(spark):
 
 
 def q_rollup_slices(spark, sf_dir):
-    """Sketch-cube reuse: three (host, time-range) distinct-url
+    """Sketch-cube reuse: six (host, time-range) distinct-url
     questions answered by merging stored per-(host, hour) partials vs
     direct sketch builds over the pages table. The cube answers read a
-    handful of KB rows (host + bucket predicates push into the cube's
-    parquet); the direct builds rescan pages once per question — the
-    factor returned is that avoided rescan, and it grows with table
-    size. Answers are asserted BYTE-identical to the direct builds."""
+    handful of KB rows in ONE job (query_rollup_many; host + bucket
+    predicates push into the cube's parquet); the direct builds rescan
+    pages once per question — the factor returned is that avoided
+    rescan, and it grows with table size. Answers are asserted
+    BYTE-identical to the direct builds. NOT wall-comparable to
+    BENCH_r04's rollup_slices, which timed THREE questions as three
+    separate cube jobs: the r5 wall carries twice the direct-rescan
+    BASELINE work (the side the cube exists to avoid) while the cube
+    side collapsed to one job — which is why the reuse factor rose."""
     d = rollup_slices_factor(spark, _staged_pages(spark),
                              _staged_rollup_cube(spark))
     factor = d["factor"]
@@ -420,7 +425,7 @@ def q_rollup_slices(spark, sf_dir):
 
 
 def rollup_slices_factor(spark, pages, cube, grain: str = "hour") -> dict:
-    """Time three (host, range) slice answers from a staged cube vs
+    """Time six (host, range) slice answers from a staged cube vs
     direct rescans of ``pages``; assert byte-identity; → {"factor",
     "t_cube", "t_direct"}. Shared with scripts/bench_sf1.py so the
     reuse claim is measured at BOTH tiers.
