@@ -18,7 +18,10 @@ Per trial:
      to Spark's exact left-semi / left-anti joins, over random
      long/string keys with NULLs on both sides and random fpp —
      no-false-negative means the anti join must keep every NULL and
-     never lose a true miss;
+     never lose a true miss; `estimate_join_size` vs the exact inner
+     join count: never underestimates (deterministic CMS inner-product
+     property) and stays within the eps*|A|*|B| additive bound at
+     delta=1e-4, with n_left/n_right equal to the non-NULL counts;
   3. heavy hitters: `heavy_hitters` (random capacity, zipf data) ==
      exact value counts above the completeness floor, value-for-value;
      `heavy_hitters_by_group` per-group exact, including a NULL group;
@@ -51,7 +54,7 @@ from bloom_filters_spark.operators import similarity as sim  # noqa: E402
 from bloom_filters_spark.operators.frequent import (  # noqa: E402
     heavy_hitters, heavy_hitters_by_group)
 from bloom_filters_spark.operators.joins import (  # noqa: E402
-    bloom_antijoin, bloom_semijoin)
+    bloom_antijoin, bloom_semijoin, estimate_join_size)
 from bloom_filters_spark.operators.sampling import (  # noqa: E402
     hash_split, stratified_take, weighted_sample)
 from bloom_filters_spark.session import get_spark  # noqa: E402
@@ -193,6 +196,28 @@ def trial_joins(spark, rng, seed):
     want_anti = big.join(small, on="k", how="left_anti")
     check(rows(anti) == rows(want_anti),
           f"bloom_antijoin mismatch kind={kind} fpp={fpp} seed={seed}")
+
+    # estimate_join_size: the CMS inner product NEVER underestimates
+    # (per-row sum over shared buckets >= a.b, deterministically) and
+    # overestimates by more than eps*|A|*|B| with prob <= delta.
+    # delta=1e-4 (depth 10) keeps the upper-bound check non-flaky
+    # across a whole fuzz campaign (P[any slip in 100 trials] <= 1%).
+    eps = float(rng.choice([1e-3, 3e-3, 1e-2]))
+    est = estimate_join_size(big, "k", small, "k", eps=eps, delta=1e-4,
+                             seed=seed)
+    exact = big.join(small, on="k", how="inner").count()
+    check(est["estimate"] >= exact,
+          f"estimate_join_size UNDERestimate {est['estimate']} < {exact} "
+          f"kind={kind} eps={eps} seed={seed}")
+    check(est["estimate"] <= exact + est["bound_slack"],
+          f"estimate_join_size bound slip: {est['estimate']} > "
+          f"{exact} + {est['bound_slack']} kind={kind} eps={eps} "
+          f"seed={seed}")
+    n_left_exact = big.where(F.col("k").isNotNull()).count()
+    n_right_exact = small.where(F.col("k").isNotNull()).count()
+    check((est["n_left"], est["n_right"]) == (n_left_exact, n_right_exact),
+          f"estimate_join_size n mismatch {est} vs "
+          f"({n_left_exact}, {n_right_exact}) seed={seed}")
 
 
 # ----------------------------------------------------------- 3. heavy hitters
