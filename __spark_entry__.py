@@ -898,7 +898,14 @@ def q_theta_grouped_overlap(spark, sf_dir):
 def q_minhash_vs_exact(spark, sf_dir):
     """MinHash-LSH (128 perms / 32 bands) vs exact Jaccard ≥ 0.8:
     verification makes precision exact; banding makes the per-pair miss
-    probability (1−s⁴)³² ≤ 5e-8 at s=0.8 → symmetric difference 0."""
+    probability (1−s⁴)³² ≤ 5e-8 at s=0.8 → symmetric difference 0.
+    Round-5 fold: connected components over the minhash pair graph
+    (`neardup_components` — min-label propagation + pointer jumping,
+    the Lee et al. 2021 cluster-then-keep-one dedup shape): the oracle
+    independently RECOMPUTES node count, component count, and the
+    sum of per-node representatives with a DuckDB recursive CTE over
+    its own exact-jaccard pairs — a different pair derivation AND a
+    different components algorithm reaching the same labeling."""
     docs = _t(spark, sf_dir, "documents")
     mh = dd.neardup_minhash(docs, "doc_id", "text", threshold=0.8,
                             num_perm=128, bands=32).select("id1", "id2")
@@ -906,8 +913,15 @@ def q_minhash_vs_exact(spark, sf_dir):
                                    threshold=0.8).select("id1", "id2")
     missing = exact.join(mh, ["id1", "id2"], "left_anti").count()
     extra = mh.join(exact, ["id1", "id2"], "left_anti").count()
-    return spark.createDataFrame([(int(missing), int(extra))],
-                                 "missing long, extra long")
+    comp = dd.neardup_components(mh)
+    cc = comp.agg(F.count("*").alias("n"),
+                  F.countDistinct("rep").alias("c"),
+                  F.sum("rep").alias("s")).first()
+    return spark.createDataFrame(
+        [(int(missing), int(extra), int(cc["n"]), int(cc["c"]),
+          int(cc["s"] or 0))],
+        "missing long, extra long, cc_nodes long, cc_components long, "
+        "cc_rep_sum long")
 
 
 def q_simhash_complete(spark, sf_dir):
@@ -1981,7 +1995,37 @@ def oracle_sql() -> dict[str, str]:
                  AND a.event_type < b.event_type
             GROUP BY a.event_type, b.event_type""",
         "minhash_vs_exact":
-            "SELECT CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra",
+            # cc_*: DuckDB recomputes the near-dup components with a
+            # RECURSIVE reachability CTE over its own exact-jaccard
+            # pairs (same shingle/jaccard derivation as the
+            # ngram_jaccard oracle, threshold 0.8) — per-node MIN of
+            # reachable ids == the operator's min-label fixpoint
+            f"""WITH RECURSIVE
+                t AS (SELECT doc_id AS id, list_distinct({toks}) AS sh
+                      FROM documents),
+                sizes AS (SELECT id, len(sh) AS sz FROM t),
+                inv AS (SELECT id, unnest(sh) AS s FROM t),
+                inter AS (SELECT a.id AS id1, b.id AS id2,
+                                 COUNT(*) AS c
+                          FROM inv a JOIN inv b
+                            ON a.s = b.s AND a.id < b.id
+                          GROUP BY 1, 2),
+                p AS (SELECT id1, id2
+                      FROM inter JOIN sizes s1 ON id1 = s1.id
+                                 JOIN sizes s2 ON id2 = s2.id
+                      WHERE round(c / (s1.sz + s2.sz - c), 6) >= 0.8),
+                e AS (SELECT id1 AS u, id2 AS v FROM p
+                      UNION SELECT id2, id1 FROM p),
+                r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+                      UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+                comp AS (SELECT u, MIN(v) AS rep FROM r GROUP BY u)
+            SELECT CAST(0 AS BIGINT) AS missing,
+                   CAST(0 AS BIGINT) AS extra,
+                   (SELECT COUNT(*) FROM comp) AS cc_nodes,
+                   (SELECT COUNT(DISTINCT rep) FROM comp)
+                       AS cc_components,
+                   (SELECT CAST(COALESCE(SUM(rep), 0) AS BIGINT)
+                    FROM comp) AS cc_rep_sum""",
         "simhash_complete":
             "SELECT CAST(0 AS BIGINT) AS mismatches",
         "lsh_bucket_caps":

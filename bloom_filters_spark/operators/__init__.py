@@ -14,8 +14,9 @@ from .reconcile import build_ibf_shards, ibf_diff_shards, reconcile_keys
 from .skipping import (build_scan_index, build_scan_index_for_files,
                        extend_scan_index, prune_files, pruned_lookup,
                        pruned_range_scan, stage_clustered)
-from .dedup import (cosine_pairs, dedup_exact, exact_dup_groups,
-                    lsh_candidate_pairs, minhash_signatures, neardup_minhash,
+from .dedup import (cosine_pairs, dedup_by_components, dedup_exact,
+                    exact_dup_groups, lsh_candidate_pairs,
+                    minhash_signatures, neardup_components, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
                     verify_jaccard)
 from .sampling import (deterministic_sample, hash_split, stratified_take,
@@ -37,6 +38,7 @@ __all__ = [
     "salted_repartition", "dedup_exact", "exact_dup_groups",
     "minhash_signatures", "lsh_candidate_pairs", "verify_jaccard",
     "neardup_minhash", "simhash_signatures", "neardup_simhash",
+    "neardup_components", "dedup_by_components",
     "ngram_jaccard_pairs", "cosine_pairs", "ann_topk_bruteforce",
     "ann_topk_lsh", "hyperplane_signatures", "tokenize", "tokens_col",
     "with_token_stats", "with_quality_score", "with_lang_id",

@@ -647,3 +647,95 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
                                            6))
             .where(F.col("cosine") >= threshold)
             .select("id1", "id2", "cosine"))
+
+
+def neardup_components(pairs: DataFrame, id1: str = "id1",
+                       id2: str = "id2", *,
+                       max_iters: int = 64) -> DataFrame:
+    """Connected components over a near-dup pair graph → one row per
+    node: columns ``(id, rep)`` where ``rep`` is the smallest id in
+    the node's component — the canonical-document selection step of a production
+    dedup pipeline (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", groups near-dup pairs into clusters
+    and keeps one representative per cluster).
+
+    Greedy pairwise dropping (``prepare_corpus``'s default) can keep
+    MORE than one doc per cluster: in the component {1, 5, 3} with
+    edges 5–1 and 5–3, node 3's only neighbour is larger, so greedy
+    keeps both 1 and 3. Components keep exactly one.
+
+    Algorithm: min-label propagation with pointer jumping — each round
+    every node takes the min label over itself and its neighbours
+    (one co-partitioned join + groupBy on the node id), then jumps to
+    its label's label (one self-join). Labels decrease monotonically
+    and stay inside the component, so the fixpoint labels every node
+    with its component minimum; pointer jumping halves tree depth per
+    round, so rounds are O(log n) rather than graph diameter — the
+    same round complexity class as the large-star/small-star
+    MapReduce algorithm (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond"). Per round only (node, label) longs
+    shuffle; edges are symmetrized, deduped, and persisted once; each
+    round's labels are ``localCheckpoint``-ed so the plan (and
+    Catalyst analysis time) stays ROUND-CONSTANT instead of growing
+    with the iteration — the standard Spark iterative-algorithm
+    requirement. The driver sees one convergence count per round,
+    never rows: the previous label rides along in the round's frame,
+    so convergence needs no extra join.
+    """
+    sess_edges = pairs.select(F.col(id1).cast("long").alias("u"),
+                              F.col(id2).cast("long").alias("v"))
+    edges = (sess_edges
+             .unionByName(sess_edges.select(F.col("v").alias("u"),
+                                            F.col("u").alias("v")))
+             .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                    & (F.col("u") != F.col("v")))
+             .distinct().persist())
+    cur = (edges.select("u").distinct()
+           .withColumn("lab", F.col("u"))
+           .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iters):
+            nbr = (edges.join(cur.select(F.col("u").alias("v"), "lab"),
+                              "v")
+                   .groupBy("u").agg(F.min("lab").alias("m")))
+            prop = (cur.join(nbr, "u", "left")
+                    .select("u", F.col("lab").alias("prev"),
+                            F.least(F.col("lab"),
+                                    F.coalesce("m", "lab")).alias("lab")))
+            # pointer jump: lab <- lab's OWN label this round (labels
+            # are always node ids present in the graph); prev rides
+            # along so convergence is a plain aggregate, not a join
+            jump = (prop.alias("a")
+                    .join(prop.select(F.col("u").alias("lab"),
+                                      F.col("lab").alias("lab2"))
+                          .alias("b"), "lab", "left")
+                    .select("u", "prev",
+                            F.coalesce("lab2", "lab").alias("lab"))
+                    .localCheckpoint(eager=True))
+            changed = jump.where(F.col("lab") != F.col("prev")).count()
+            cur = jump.drop("prev")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"neardup_components did not converge in {max_iters} "
+                "rounds — raise max_iters (rounds grow ~log(n))")
+        return cur.select(F.col("u").alias("id"),
+                          F.col("lab").alias("rep"))
+    finally:
+        edges.unpersist()
+
+
+def dedup_by_components(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one document per near-dup component: the smallest
+    id of each connected component of ``pairs`` survives, every other
+    paired doc is dropped, and docs in no pair pass through untouched.
+    One anti-join against the O(paired docs) loser set — the strict
+    (cluster-level) alternative to ``prepare_corpus``'s greedy
+    pairwise policy."""
+    comp = neardup_components(pairs)
+    idc = comp.columns[0]
+    losers = (comp.where(F.col(idc) != F.col("rep"))
+              .select(F.col(idc).alias(id_col)).distinct())
+    return df.join(losers, id_col, "left_anti")

@@ -107,15 +107,22 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
                    min_quality: float = 0.6,
                    num_perm: int = 128, bands: int = 32,
                    bucket_cap: int | None = None,
-                   shingle: int = 1) -> DataFrame:
+                   shingle: int = 1,
+                   near_dedup_policy: str = "greedy") -> DataFrame:
     """End-to-end training-corpus preparation — the composition a data
     pipeline actually runs, built from the library's own operators:
 
       1. EXACT dedup, keep-first (smallest id per distinct text);
       2. NEAR-DUP dedup: MinHash-LSH candidates, exact-jaccard
-         verified; greedy keep-first policy — drop any doc with a
-         verified near-dup of smaller id (deterministic, one
-         anti-join; no iterative connected components);
+         verified; ``near_dedup_policy`` picks the keep rule —
+         ``"greedy"`` (default) drops any doc with a verified
+         near-dup of smaller id (deterministic, one anti-join, zero
+         extra rounds), ``"components"`` keeps exactly ONE doc per
+         connected component of the pair graph
+         (``dedup_by_components`` — the Lee et al. 2021
+         cluster-level policy; O(log n) label-propagation rounds,
+         strictly stronger: greedy can keep 2+ docs of one cluster
+         when a member's neighbours are all larger);
       3. QUALITY filter: keep docs with quality_score >= min_quality.
 
     Returns the surviving rows of ``df``. Every stage is the scale
@@ -123,6 +130,10 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
     join, pure-JVM scoring)."""
     from ..operators import dedup as dd
     from ..operators.textstats import with_quality_score
+
+    if near_dedup_policy not in ("greedy", "components"):
+        raise ValueError(f"unknown near_dedup_policy {near_dedup_policy!r}"
+                         " (greedy | components)")
 
     # the exact-dedup result is referenced ~5x downstream (signature
     # build, both verify sides, the loser anti-join, quality scoring);
@@ -134,8 +145,11 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
                                threshold=jaccard_threshold,
                                num_perm=num_perm, bands=bands,
                                shingle=shingle, bucket_cap=bucket_cap)
-    losers = pairs.select(F.col("id2").alias(id_col)).distinct()
-    kept = kept.join(losers, id_col, "left_anti")
+    if near_dedup_policy == "components":
+        kept = dd.dedup_by_components(kept, pairs, id_col)
+    else:
+        losers = pairs.select(F.col("id2").alias(id_col)).distinct()
+        kept = kept.join(losers, id_col, "left_anti")
     scored = with_quality_score(kept)
     return (scored.where(F.col("quality_score") >= min_quality)
             .select(*df.columns))

@@ -24,7 +24,11 @@ exact duplicates, repeated-token), then checks:
      hamming values;
   4. quantile_boundaries → partition_balance — every bucket count
      within n/k ± (2·ε·n + max tie multiplicity + 1) for KLL(200)
-     ε=0.04, over uniform / lognormal / zipf-with-ties draws.
+     ε=0.04, over uniform / lognormal / zipf-with-ties draws;
+  5. neardup_components vs an independent union-find oracle over a
+     random pair graph — random id domains (incl. 2^61-scale),
+     duplicate/reversed edges, self-loops, NULL ids, and a planted
+     long chain that forces real pointer-jumping rounds.
 
 Run: python scripts/fuzz_dedup.py [n_trials]  (default 12, ~4 min)
 """
@@ -211,6 +215,59 @@ def trial_partitioner(spark, rng, seed):
               f"dist={kind} k={k} seed={seed}")
 
 
+
+
+def trial_components(spark, rng, seed):
+    """Connected components (`neardup_components`) vs an independent
+    union-find oracle over a random pair graph: random edge count and
+    id domain (including 2^61-scale ids), duplicate + reversed edges,
+    self-loops and NULL ids (both contribute nothing), plus one long
+    planted chain so convergence needs real pointer-jumping rounds."""
+    import pandas as pd
+    from bloom_filters_spark.operators import neardup_components
+
+    n_edges = int(rng.integers(30, 300))
+    base = int(rng.choice([0, 1 << 61]))
+    dom = int(rng.integers(20, 150))
+    raw = rng.integers(0, dom, size=(n_edges, 2))
+    pairs = [(base + int(a), base + int(b)) for a, b in raw]
+    # planted chain through FRESH ids (forces label paths to shorten)
+    chain_ids = [base + dom + i for i in range(int(rng.integers(5, 40)))]
+    pairs += list(zip(chain_ids, chain_ids[1:]))
+    # adversarial rows: self-loops, NULLs, reversed duplicates
+    pairs += [(base + 1, base + 1), (None, base + 2), (base + 3, None)]
+    pairs += [(b, a) for a, b in pairs[: 5] if a is not None and b is not None]
+
+    def uf(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a is None or b is None or a == b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(
+        pd.DataFrame(pairs, columns=["id1", "id2"], dtype="object"),
+        "id1 long, id2 long").repartition(int(rng.integers(1, 9)))
+    got = {r["id"]: r["rep"] for r in neardup_components(df).collect()}
+    want = uf(pairs)
+    check(got == want,
+          f"components mismatch seed={seed}: "
+          f"only_got={dict(set(got.items()) - set(want.items()))} "
+          f"only_want={dict(set(want.items()) - set(got.items()))}")
+
+
+
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     spark = get_spark("fuzz-dedup", cores=16)
@@ -230,12 +287,13 @@ def main():
                 traceback.print_exc()
         try:
             trial_partitioner(spark, rng, seed)
+            trial_components(spark, rng, seed)
         except Exception as e:  # noqa: BLE001
             import traceback
             FAILS.append(f"trial_partitioner seed={seed}: {e!r}")
             traceback.print_exc()
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
-    print(f"done: {n_trials} trials x 4 properties, {len(FAILS)} failures")
+    print(f"done: {n_trials} trials x 5 properties, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)
 
 

@@ -126,3 +126,33 @@ def test_select_token_budget_null_text_partitions(spark):
                  select_token_budget(df, 250, partitions=8).collect())
     assert got                                # selected something
     assert all(i < 1000 for i in got)         # budget bound real docs
+
+
+def test_prepare_corpus_components_policy(spark):
+    """near_dedup_policy='components' keeps exactly one doc per
+    near-dup cluster where greedy can keep two: docs 1/3/5 are one
+    cluster whose pair graph is the star 5-1, 5-3 (1 and 3 are near
+    5 but not quite each other), so greedy keeps 1 AND 3 while
+    components keeps only 1. Quality filter disabled to isolate the
+    policy."""
+    from bloom_filters_spark.plans.queries import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog tonight ok"
+    docs = spark.createDataFrame(
+        [(1, base + " alpha beta"),
+         (3, base + " gamma delta"),
+         (5, base + " alpha gamma"),
+         (9, "completely different words about spark sketches here now")],
+        "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.75, min_quality=0.0, num_perm=64,
+              bands=16)
+    greedy = sorted(r["doc_id"] for r in
+                    prepare_corpus(docs, **kw).collect())
+    comp = sorted(r["doc_id"] for r in
+                  prepare_corpus(docs, near_dedup_policy="components",
+                                 **kw).collect())
+    assert greedy == [1, 3, 9]
+    assert comp == [1, 9]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prepare_corpus(docs, near_dedup_policy="nope")

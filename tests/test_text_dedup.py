@@ -518,3 +518,72 @@ def test_ivf_params_scale_safe(spark):
     out = [(r["query_id"], r["neighbor_id"], r["cosine"])
            for r in got.collect()]
     assert out and set(out) <= truth
+
+
+# ------------------------------------------------- connected components
+
+def _uf_components(pairs):
+    """Independent union-find oracle: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_neardup_components_shapes(spark):
+    from bloom_filters_spark.operators import neardup_components
+    # chain (diameter 5, exercises pointer jumping), the greedy
+    # counterexample {1,5,3} (edges 5-1, 5-3: greedy keeps 1 AND 3),
+    # a cycle, a reversed duplicate edge, and a NULL id (dropped)
+    pairs = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+             (5, 1), (5, 3),
+             (20, 21), (21, 22), (22, 20),
+             (21, 20),
+             (None, 30)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    comp = {r["id"]: r["rep"]
+            for r in neardup_components(df).collect()}
+    want = _uf_components([(a, b) for a, b in pairs
+                           if a is not None and b is not None])
+    assert comp == want
+    assert comp[15] == 10 and comp[3] == 1 and comp[5] == 1
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert 30 not in comp or comp[30] == 30  # NULL edge contributes nothing
+
+
+def test_neardup_components_random_vs_union_find(spark):
+    from bloom_filters_spark.operators import neardup_components
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        n_edges = int(rng.integers(50, 400))
+        dom = int(rng.integers(30, 200))
+        pairs = [(int(a), int(b)) for a, b in
+                 rng.integers(0, dom, size=(n_edges, 2)) if a != b]
+        df = spark.createDataFrame(pairs, "id1 long, id2 long") \
+            .repartition(int(rng.integers(1, 8)))
+        comp = {r["id"]: r["rep"]
+                for r in neardup_components(df).collect()}
+        assert comp == _uf_components(pairs), f"trial {trial}"
+
+
+def test_dedup_by_components_vs_greedy(spark):
+    from bloom_filters_spark.operators import dedup_by_components
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 3, 5, 9)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(5, 1), (5, 3)], "id1 long, id2 long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup_by_components(docs, pairs).collect())
+    # component {1,3,5} keeps only 1; greedy pairwise would keep 1 AND 3
+    # (3's only neighbour 5 is larger); unpaired doc 9 passes through
+    assert kept == [1, 9]
