@@ -215,8 +215,6 @@ def trial_partitioner(spark, rng, seed):
               f"dist={kind} k={k} seed={seed}")
 
 
-
-
 def trial_components(spark, rng, seed):
     """Connected components (`neardup_components`) vs an independent
     union-find oracle over a random pair graph: random edge count and
@@ -285,13 +283,13 @@ def main():
                 import traceback
                 FAILS.append(f"{fn.__name__} seed={seed}: {e!r}")
                 traceback.print_exc()
-        try:
-            trial_partitioner(spark, rng, seed)
-            trial_components(spark, rng, seed)
-        except Exception as e:  # noqa: BLE001
-            import traceback
-            FAILS.append(f"trial_partitioner seed={seed}: {e!r}")
-            traceback.print_exc()
+        for fn in (trial_partitioner, trial_components):
+            try:
+                fn(spark, rng, seed)
+            except Exception as e:  # noqa: BLE001
+                import traceback
+                FAILS.append(f"{fn.__name__} seed={seed}: {e!r}")
+                traceback.print_exc()
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
     print(f"done: {n_trials} trials x 5 properties, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)
