@@ -587,3 +587,16 @@ def test_dedup_by_components_vs_greedy(spark):
     # component {1,3,5} keeps only 1; greedy pairwise would keep 1 AND 3
     # (3's only neighbour 5 is larger); unpaired doc 9 passes through
     assert kept == [1, 9]
+
+
+def test_neardup_components_log_rounds(spark):
+    """Pointer jumping must keep rounds O(log n), not O(diameter): a
+    64-node path graph (diameter 63) must converge within max_iters=10
+    — without the jump step label propagation needs 63 rounds and the
+    call would raise."""
+    from bloom_filters_spark.operators import neardup_components
+    pairs = [(i, i + 1) for i in range(100, 163)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    comp = {r["id"]: r["rep"]
+            for r in neardup_components(df, max_iters=10).collect()}
+    assert set(comp.values()) == {100} and len(comp) == 64
