@@ -598,6 +598,20 @@ def main() -> None:
             s1 = json.load(f)
         out["tier10x_claims"] = s1.get("claims")
         out["tier10x_time_ratios"] = s1.get("time_ratio_10x_over_1x")
+    # streaming tiers (scripts/bench_streaming_tier.py →
+    # BENCH/streaming_tier.json): windowed-sketch state O(windows)
+    # (30 blob rows at BOTH tiers), dedup state tracks configured
+    # capacity — surfaced here so the driver-consumed artifact carries
+    # the streaming scale evidence too
+    st_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "streaming_tier.json")
+    if os.path.exists(st_path):
+        with open(st_path) as f:
+            st = json.load(f)
+        out["streaming_tier10x"] = {
+            k: st.get(k) for k in
+            ("windowed_wall_ratio_10x", "windowed_state_rows_flat",
+             "dedup_wall_ratio_10x", "dedup_state_mb")}
     print(json.dumps(out))
 
 
