@@ -681,6 +681,15 @@ def neardup_components(pairs: DataFrame, id1: str = "id1",
     requirement. The driver sees one convergence count per round,
     never rows: the previous label rides along in the round's frame,
     so convergence needs no extra join.
+
+    Fault-tolerance note for long cluster runs: ``localCheckpoint``
+    trades lineage for speed — labels live in executor block storage,
+    so losing an executor mid-run fails the job (restart the call; a
+    few O(log n) label rounds are cheap to redo — the expensive pair
+    GENERATION upstream is what `checkpoint.SketchCheckpoint` guards).
+    On clusters with heavy churn, set a reliable
+    ``sc.setCheckpointDir`` and swap ``localCheckpoint`` for
+    ``checkpoint`` — same plan-cut semantics, HDFS-backed blocks.
     """
     sess_edges = pairs.select(F.col(id1).cast("long").alias("u"),
                               F.col(id2).cast("long").alias("v"))
