@@ -673,7 +673,9 @@ def neardup_components(pairs: DataFrame, id1: str = "id1",
     round, so rounds are O(log n) rather than graph diameter — the
     same round complexity class as the large-star/small-star
     MapReduce algorithm (Kiveris et al. 2014, "Connected Components
-    in MapReduce and Beyond"). Per round only (node, label) longs
+    in MapReduce and Beyond"). Ids keep their native type (long doc
+    ids, string urls — anything orderable; floats rejected, NaN breaks
+    equality). Per round only (node, label) pairs
     shuffle; edges are symmetrized, deduped, and persisted once; each
     round's labels are ``localCheckpoint``-ed so the plan (and
     Catalyst analysis time) stays ROUND-CONSTANT instead of growing
@@ -691,8 +693,24 @@ def neardup_components(pairs: DataFrame, id1: str = "id1",
     ``sc.setCheckpointDir`` and swap ``localCheckpoint`` for
     ``checkpoint`` — same plan-cut semantics, HDFS-backed blocks.
     """
-    sess_edges = pairs.select(F.col(id1).cast("long").alias("u"),
-                              F.col(id2).cast("long").alias("v"))
+    t1 = pairs.schema[id1].dataType
+    t2 = pairs.schema[id2].dataType
+    if t1 != t2:
+        raise ValueError(
+            f"neardup_components: {id1} is {t1.simpleString()} but "
+            f"{id2} is {t2.simpleString()} — pair columns must share "
+            "one id type")
+    if t1.simpleString() in ("float", "double"):
+        raise ValueError(
+            "neardup_components: float ids are not supported (NaN "
+            "breaks the label-equality fixpoint); cast to a string "
+            "or integer id first")
+    # ids keep their NATIVE type (long doc ids, string urls, ...):
+    # the algorithm needs only ordering (min label) and equality —
+    # a silent cast("long") would NULL out every string id and
+    # return an empty labeling
+    sess_edges = pairs.select(F.col(id1).alias("u"),
+                              F.col(id2).alias("v"))
     edges = (sess_edges
              .unionByName(sess_edges.select(F.col("v").alias("u"),
                                             F.col("u").alias("v")))

@@ -600,3 +600,26 @@ def test_neardup_components_log_rounds(spark):
     comp = {r["id"]: r["rep"]
             for r in neardup_components(df, max_iters=10).collect()}
     assert set(comp.values()) == {100} and len(comp) == 64
+
+
+def test_neardup_components_string_ids(spark):
+    """Ids keep their native type: a url-keyed pair graph must label
+    correctly (the earlier cast-to-long form silently NULLed every
+    string id and returned an empty frame). Representatives are the
+    lexicographic minimum; float ids are rejected loudly."""
+    from bloom_filters_spark.operators import neardup_components
+    pairs = spark.createDataFrame(
+        [("b.com/x", "a.com/y"), ("b.com/x", "c.com/z"),
+         ("d.com/q", "e.com/r")],
+        "id1 string, id2 string")
+    comp = {r["id"]: r["rep"]
+            for r in neardup_components(pairs).collect()}
+    assert comp == {"a.com/y": "a.com/y", "b.com/x": "a.com/y",
+                    "c.com/z": "a.com/y",
+                    "d.com/q": "d.com/q", "e.com/r": "d.com/q"}
+    bad = spark.createDataFrame([(1.0, 2.0)], "id1 double, id2 double")
+    with pytest.raises(ValueError, match="float ids"):
+        neardup_components(bad)
+    mixed = spark.createDataFrame([(1, "a")], "id1 long, id2 string")
+    with pytest.raises(ValueError, match="share"):
+        neardup_components(mixed)
