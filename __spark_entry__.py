@@ -65,6 +65,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SQL_TOKS = (r"list_filter(string_split_regex(trim(lower(text)), '\s+'),"
              r" x -> x <> '')")
 
+# Fixed adversarial urls for the canonical-url parity check
+# (operators/urls.py): one list feeds BOTH the Spark query and the
+# DuckDB oracle's independent SQL re-implementation. Covers: case +
+# default port + tracking + fragment + whitespace, root slash, real
+# port kept, emptied query, bare '?', param order/case kept,
+# schemeless, '?' inside a fragment, tracking name as a VALUE.
+_CANON_URLS = [
+    "  HTTP://WWW.Example.COM:80/Path/Page?a=1&utm_source=x&b=2#frag  ",
+    "https://Host.com:443/",
+    "https://host.com:8443/x",
+    "http://h.com/?utm_campaign=c",
+    "http://h.com/p?fbclid=abc&gclid=d",
+    "http://h.com/p?",
+    "http://h.com/A/B?Z=1&z=2",
+    "http://h.com/x/",
+    "http://h.com:80",
+    "http://h.com:800/x",
+    "ftp://H.com/X",
+    "http://h.com/p?utm_a=1&keep=2&utm_b=3",
+    "relative/path?utm_source=x#f",
+    "http://h.com/p#f?utm_source=1",
+    "http://h.com/p?a=utm_source",
+]
+
 
 # ===================================================================
 # entry
@@ -1595,12 +1619,26 @@ def q_string_digests(spark, sf_dir):
                      F.sum(ascii_col(False)).alias("ascii_sum_checksum"),
                      F.sum(ascii_col(True)).alias("ascii_sq_checksum"))
 
+    # canonical-url parity (operators/urls.py): md5 of the '|'-joined
+    # canonical forms of the fixed adversarial list — the oracle
+    # RE-IMPLEMENTS all seven rules in DuckDB SQL and recomputes it
+    from bloom_filters_spark.operators.urls import with_canonical_url
+    udf = spark.createDataFrame(list(enumerate(_CANON_URLS, 1)),
+                                "i long, url string")
+    canon_arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "canonical_url"))),
+        lambda s: s["canonical_url"])
+    canon = (with_canonical_url(udf)
+             .agg(F.md5(F.concat_ws("|", canon_arr))
+                  .alias("canon_urls_md5")))
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    return (docs.select(
         "doc_id",
         F.concat(F.substring("text", 1, 77), F.lit("...")).alias("preview"),
         F.md5(F.col("text")).alias("md5_hex"),
-        F.sha2(F.col("text"), 256).alias("sha256_hex")).crossJoin(sums)
+        F.sha2(F.col("text"), 256).alias("sha256_hex"))
+        .crossJoin(sums).crossJoin(canon))
 
 
 def q_d1_collision_sweep(spark, sf_dir):
@@ -1696,6 +1734,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _MARKER_LIST = {code: ", ".join(f"'{w}'" for w in ws)
                 for code, ws in ts.LANG_MARKERS.items()}
 _STOPWORD_LIST = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+
+
+def _canon_values() -> str:
+    """VALUES list for the canonical-url oracle (urls contain no
+    quotes; _CANON_URLS is the single source for both sides)."""
+    return ", ".join(f"({i}, '{u}')"
+                     for i, u in enumerate(_CANON_URLS, 1))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2208,7 +2253,46 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM(list_sum(list_transform("
             "   string_split('word' || i, ''),"
             "   c -> ascii(c) * ascii(c))) % 1009"
-            " ) AS BIGINT) FROM range(100) t(i)) AS ascii_sq_checksum "
+            " ) AS BIGINT) FROM range(100) t(i)) AS ascii_sq_checksum, "
+            # canonical-url parity: DuckDB RE-IMPLEMENTS the seven
+            # canonicalization rules of operators/urls.py in SQL over
+            # the same fixed adversarial list (_CANON_URLS feeds both
+            # sides) and recomputes the joined md5
+            f"""(WITH u AS (SELECT * FROM (VALUES {_canon_values()})
+                            AS t(i, s)),
+              a AS (SELECT i, trim(s) AS s FROM u),
+              b AS (SELECT i, regexp_replace(s, '#.*$', '') AS s FROM a),
+              c AS (SELECT i,
+                    lower(regexp_extract(s,
+                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+                    || substring(s, length(regexp_extract(s,
+                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1)
+                    AS s FROM b),
+              d AS (SELECT i, regexp_replace(regexp_replace(s,
+                      '^(http://[^/?#:]+):80($|[/?#])', '\\1\\2'),
+                      '^(https://[^/?#:]+):443($|[/?#])', '\\1\\2')
+                    AS s FROM c),
+              e AS (SELECT i, s,
+                    CASE WHEN strpos(s, '?') > 0
+                         THEN substring(s, 1, strpos(s, '?') - 1)
+                         ELSE s END AS base,
+                    CASE WHEN strpos(s, '?') > 0
+                         THEN substring(s, strpos(s, '?') + 1)
+                         ELSE '' END AS q FROM d),
+              f AS (SELECT i, s, base,
+                    COALESCE(array_to_string(
+                      list_filter(string_split(q, '&'),
+                      p -> NOT regexp_matches(p,
+                      '^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=|$)')),
+                      '&'), '') AS kept FROM e),
+              g AS (SELECT i, CASE WHEN strpos(s, '?') = 0 OR kept = ''
+                              THEN base ELSE base || '?' || kept END
+                    AS s FROM f),
+              h AS (SELECT i, regexp_replace(s,
+                      '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')
+                    AS s FROM g)
+              SELECT md5(string_agg(s, '|' ORDER BY i)) FROM h)
+              AS canon_urls_md5 """
             "FROM documents",
         "d1_collision_sweep":
             "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic, "

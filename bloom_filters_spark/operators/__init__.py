@@ -21,6 +21,7 @@ from .dedup import (cosine_pairs, dedup_by_components, dedup_exact,
                     verify_jaccard)
 from .sampling import (deterministic_sample, hash_split, stratified_take,
                        weighted_sample)
+from .urls import canonical_url_col, with_canonical_url
 from .rollup import (compact_cube, query_rollup,
                      query_rollup_many, rollup_group_estimates,
                      rollup_sketches)
@@ -60,4 +61,5 @@ __all__ = [
     "weighted_sample",
     "rollup_sketches", "query_rollup", "query_rollup_many",
     "compact_cube", "rollup_group_estimates",
+    "canonical_url_col", "with_canonical_url",
 ]

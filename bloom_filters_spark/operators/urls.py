@@ -1,0 +1,86 @@
+"""URL canonicalization — the key-normalization step in front of url
+dedup / seen-before at crawl scale.
+
+Two crawls of the same page rarely present byte-identical urls
+(fragment anchors, tracking parameters, default ports, host case), so
+url-keyed exact dedup under-merges unless keys are canonicalized
+first. No reference counterpart (the reference keys raw CSV lines);
+rules follow RFC 3986 §6 normalization practice plus the
+tracking-parameter strip every production crawler applies.
+
+Everything here is ONE pure-JVM column expression (regexp / split /
+filter / concat — whole-stage codegen, no Python, no UDF), so
+canonicalization rides the scan for free at any scale.
+
+Rules applied by :func:`canonical_url_col`, in order:
+
+1. trim surrounding whitespace;
+2. drop the fragment (``#...`` — never sent to the server);
+3. lowercase the scheme and authority (host) — path and query stay
+   case-sensitive per RFC 3986;
+4. drop default ports (``http://h:80`` → ``http://h``,
+   ``https://h:443`` → ``https://h``);
+5. drop tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+   ``msclkid``, ``mc_eid`` by default — configurable), keeping the
+   remaining parameter ORDER (reordering would merge semantically
+   different urls on servers that care);
+6. drop an empty query (a bare trailing ``?``);
+7. drop the slash of a bare root path (``http://h/`` → ``http://h``).
+
+NULL urls stay NULL. Urls without a scheme pass through steps 1/2/5-7
+unchanged in their authority (there is none to lowercase). Documented
+deviations: the whole authority is lowercased, including a rare
+userinfo part (RFC keeps userinfo case-sensitive; crawl corpora do
+not carry credentials); tracking-parameter matching is
+case-sensitive (the platforms that mint these params emit them
+lowercase — an uppercase ``UTM_SOURCE`` is kept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# default tracking parameters: the widely-documented client-id /
+# campaign params that never change server-side content
+TRACKING_PARAMS = ("utm_[^=&]*", "fbclid", "gclid", "msclkid", "mc_eid")
+
+_AUTH_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url_col(url_col: str = "url",
+                      tracking_params=TRACKING_PARAMS) -> Column:
+    """One JVM expression computing the canonical form of ``url_col``
+    (see module docstring for the rule list)."""
+    u = F.trim(F.col(url_col))
+    # 2. fragment off first — everything downstream ignores it
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. lowercase scheme://authority, keep the rest byte-identical
+    pfx = F.regexp_extract(u, _AUTH_RE, 1)
+    u = F.concat(F.lower(pfx), F.substring(u, F.length(pfx) + 1,
+                                           F.length(u)))
+    # 4. default ports (post-lowercase, so :80/:443 match once)
+    u = F.regexp_replace(u, r"^(http://[^/?#:]+):80(?=[/?#]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]+):443(?=[/?#]|$)", "$1")
+    # 5. tracking params: split the query on '&', drop matching params,
+    #    rejoin in original order
+    base = F.substring_index(u, "?", 1)
+    query = F.substring(u, F.length(base) + 2, F.length(u))
+    pat = "^(" + "|".join(tracking_params) + ")(=|$)"
+    kept = F.array_join(
+        F.filter(F.split(query, "&"),
+                 lambda p: ~p.rlike(pat)), "&")
+    u = F.when(~u.contains("?") | (kept == ""), base) \
+         .otherwise(F.concat(base, F.lit("?"), kept))
+    # 7. bare root slash (after the query may have emptied away)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", "$1")
+    return u
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url",
+                       out_col: str = "canonical_url",
+                       tracking_params=TRACKING_PARAMS) -> DataFrame:
+    """Append the canonical url column — run this before url-keyed
+    `dedup_exact` / `seen_before` / `StreamingShardedDedup` so
+    fragment/tracking/port/case variants of one page share a key."""
+    return df.withColumn(out_col,
+                         canonical_url_col(url_col, tracking_params))
