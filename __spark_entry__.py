@@ -73,6 +73,7 @@ _SQL_TOKS = (r"list_filter(string_split_regex(trim(lower(text)), '\s+'),"
 # schemeless, '?' inside a fragment, tracking name as a VALUE.
 _CANON_URLS = [
     "  HTTP://WWW.Example.COM:80/Path/Page?a=1&utm_source=x&b=2#frag  ",
+    "\t https://Tab.Example.com:443/x \t",
     "https://Host.com:443/",
     "https://host.com:8443/x",
     "http://h.com/?utm_campaign=c",
@@ -2260,7 +2261,7 @@ def oracle_sql() -> dict[str, str]:
             # sides) and recomputes the joined md5
             f"""(WITH u AS (SELECT * FROM (VALUES {_canon_values()})
                             AS t(i, s)),
-              a AS (SELECT i, trim(s) AS s FROM u),
+              a AS (SELECT i, regexp_replace(s, '^\\s+|\\s+$', '', 'g') AS s FROM u),
               b AS (SELECT i, regexp_replace(s, '#.*$', '') AS s FROM a),
               c AS (SELECT i,
                     lower(regexp_extract(s,

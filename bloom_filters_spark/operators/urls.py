@@ -14,7 +14,8 @@ canonicalization rides the scan for free at any scale.
 
 Rules applied by :func:`canonical_url_col`, in order:
 
-1. trim surrounding whitespace;
+1. trim surrounding ASCII whitespace (spaces, tabs, newlines — not
+   just ' ' as ``F.trim`` would);
 2. drop the fragment (``#...`` — never sent to the server);
 3. lowercase the scheme and authority (host) — path and query stay
    case-sensitive per RFC 3986;
@@ -51,7 +52,11 @@ def canonical_url_col(url_col: str = "url",
                       tracking_params=TRACKING_PARAMS) -> Column:
     """One JVM expression computing the canonical form of ``url_col``
     (see module docstring for the rule list)."""
-    u = F.trim(F.col(url_col))
+    # NOT F.trim: Spark's trim removes only ' ' (0x20) — a crawl field
+    # padded with tabs/newlines would dodge every later rule (the
+    # scheme regexp is ^-anchored). \s in Java regex is ASCII
+    # whitespace [ \t\n\x0B\f\r], which is the documented trim set.
+    u = F.regexp_replace(F.col(url_col), r"^\s+|\s+$", "")
     # 2. fragment off first — everything downstream ignores it
     u = F.regexp_replace(u, r"#.*$", "")
     # 3. lowercase scheme://authority, keep the rest byte-identical

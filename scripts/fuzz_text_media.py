@@ -277,6 +277,82 @@ def trial_media(spark, rng, seed):
                   f"seed={seed}")
 
 
+def _py_canon(u):
+    """Independent python re-implementation of the seven
+    canonicalization rules in operators/urls.py (module docstring) —
+    probed against the JVM expression, not derived from it."""
+    import re as _re
+    if u is None:
+        return None
+    s = _re.sub(r"^\s+|\s+$", "", u, flags=_re.ASCII)
+    s = _re.sub(r"#.*$", "", s)
+    m = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", s)
+    pfx = m.group(1) if m else ""
+    s = pfx.lower() + s[len(pfx):]
+    s = _re.sub(r"^(http://[^/?#:]+):80(?=[/?#]|$)", r"\1", s)
+    s = _re.sub(r"^(https://[^/?#:]+):443(?=[/?#]|$)", r"\1", s)
+    if "?" in s:
+        base, q = s.split("?", 1)
+        pat = _re.compile(
+            r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid)(=|$)")
+        kept = "&".join(p for p in q.split("&") if not pat.match(p))
+        s = base if kept == "" else base + "?" + kept
+    return _re.sub(r"^([a-z][a-z0-9+.-]*://[^/?#]+)/$", r"\1", s)
+
+
+def _random_url(rng) -> str | None:
+    if rng.random() < 0.03:
+        return None
+    r = rng.random
+    scheme = rng.choice(["http", "https", "HTTP", "HtTpS", "ftp", ""])
+    host = rng.choice(["Example.COM", "h.com", "WWW.Site.org",
+                       "xn--bcher-kva.ch", "a.b.c.d.e"])
+    port = rng.choice(["", ":80", ":443", ":8080", ":080"])
+    path = rng.choice(["", "/", "/Path/Page", "/x/", "/A//B", "/p"])
+    params = []
+    for _ in range(int(rng.integers(0, 4))):
+        params.append(rng.choice(
+            ["a=1", "utm_source=x", "utm_=y", "UTM_SOURCE=z", "fbclid",
+             "gclid=g", "keep=2", "", "=v", "k=", "a=utm_source",
+             "z=%20&"]))
+    query = "?" + "&".join(params) if (params or r() < 0.15) else ""
+    frag = rng.choice(["", "#f", "#a?utm_source=1", "#?"])
+    pad = rng.choice(["", " ", "  \t"])
+    base = f"{scheme}://{host}{port}" if scheme else rng.choice(
+        ["relative/path", host, ""])
+    return f"{pad}{base}{path}{query}{frag}{pad}"
+
+
+def trial_urls(spark, rng, seed):
+    """canonical_url_col vs the independent python oracle over random
+    adversarial urls (mixed-case schemes/hosts, default + fake ports,
+    tracking params in every position, empty params, fragments with
+    '?', whitespace padding, schemeless, NULLs) — value-for-value, and
+    idempotence of the JVM expression itself."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from bloom_filters_spark.operators import with_canonical_url
+
+    urls = [_random_url(rng) for _ in range(int(rng.integers(80, 200)))]
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(urls)),
+                      "url": pd.Series(urls, dtype="object")}),
+        "i long, url string")
+    got = {r["i"]: r["canonical_url"]
+           for r in with_canonical_url(df).collect()}
+    for i, u in enumerate(urls):
+        want = _py_canon(u)
+        check(got[i] == want,
+              f"canon mismatch seed={seed} url={u!r} "
+              f"want={want!r} got={got[i]!r}")
+    once = with_canonical_url(df).select(
+        "i", F.col("canonical_url").alias("url"))
+    twice = with_canonical_url(once)
+    n_ni = twice.where(~F.col("canonical_url").eqNullSafe(
+        F.col("url"))).count()
+    check(n_ni == 0, f"canon not idempotent seed={seed} ({n_ni} rows)")
+
+
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("fuzz-text-media", cores=16)
@@ -286,6 +362,7 @@ def main():
         rng = np.random.default_rng(seed)
         trial_text(spark, rng, seed)
         trial_media(spark, rng, seed)
+        trial_urls(spark, rng, seed)
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
     print(f"done: {n_trials} text+media trials, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)

@@ -9,6 +9,9 @@ CASES = [
     # (input, canonical)
     ("  HTTP://WWW.Example.COM:80/Path/Page?a=1&utm_source=x&b=2#frag  ",
      "http://www.example.com/Path/Page?a=1&b=2"),
+    # tabs/newlines: F.trim strips only ' ' — fuzz caught the operator
+    # missing tab padding; the trim is regexp \s now
+    ("\t https://Tab.Example.com:443/x \n", "https://tab.example.com/x"),
     ("https://Host.com:443/", "https://host.com"),          # default port+root
     ("https://host.com:8443/x", "https://host.com:8443/x"),  # real port kept
     ("http://h.com/?utm_campaign=c", "http://h.com"),       # query emptied
