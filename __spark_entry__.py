@@ -932,8 +932,11 @@ def q_minhash_vs_exact(spark, sf_dir):
     its own exact-jaccard pairs — a different pair derivation AND a
     different components algorithm reaching the same labeling."""
     docs = _t(spark, sf_dir, "documents")
+    # persisted: referenced by both anti-joins AND the components
+    # edge build — without it the LSH candidate join re-runs 4x
     mh = dd.neardup_minhash(docs, "doc_id", "text", threshold=0.8,
-                            num_perm=128, bands=32).select("id1", "id2")
+                            num_perm=128, bands=32) \
+        .select("id1", "id2").persist()
     exact = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
                                    threshold=0.8).select("id1", "id2")
     missing = exact.join(mh, ["id1", "id2"], "left_anti").count()

@@ -651,7 +651,8 @@ def cosine_pairs_lsh(df: DataFrame, id_col: str = "vec_id",
 
 def neardup_components(pairs: DataFrame, id1: str = "id1",
                        id2: str = "id2", *,
-                       max_iters: int = 64) -> DataFrame:
+                       max_iters: int = 64,
+                       driver_edge_cap: int = 1 << 20) -> DataFrame:
     """Connected components over a near-dup pair graph → one row per
     node: columns ``(id, rep)`` where ``rep`` is the smallest id in
     the node's component — the canonical-document selection step of a production
@@ -683,6 +684,18 @@ def neardup_components(pairs: DataFrame, id1: str = "id1",
     requirement. The driver sees one convergence count per round,
     never rows: the previous label rides along in the round's frame,
     so convergence needs no extra join.
+
+    Small-graph fast path: the iterative rounds cost a handful of
+    Spark JOBS each — pure scheduling latency when the pair graph is
+    tiny relative to the corpus (the common case: near-dup pairs are
+    a sliver of the table). When the deduped symmetric edge count is
+    ≤ ``driver_edge_cap`` (default 2^20 ≈ 32 MB of id pairs, the same
+    bounded-driver-work pattern as ``query_rollup``'s max_partials),
+    the edges are collected once and labeled with a driver-side
+    union-find — identical output by construction (both compute the
+    per-component minimum; the equality is fuzz-checked across both
+    paths). Set ``driver_edge_cap=0`` to force the distributed rounds
+    (e.g. for 10^9-pair graphs the cap already routes there).
 
     Fault-tolerance note for long cluster runs: ``localCheckpoint``
     trades lineage for speed — labels live in executor block storage,
@@ -717,6 +730,32 @@ def neardup_components(pairs: DataFrame, id1: str = "id1",
              .where(F.col("u").isNotNull() & F.col("v").isNotNull()
                     & (F.col("u") != F.col("v")))
              .distinct().persist())
+    n_edges = edges.count()
+    if n_edges <= driver_edge_cap:
+        # bounded collect (≤ cap rows of two ids), union-find, done in
+        # ONE job instead of ~4 jobs x O(log n) rounds
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # one bounded collect (<= cap rows; toLocalIterator would run
+        # one sequential job per partition)
+        for r in edges.collect():
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        schema = f"id {t1.simpleString()}, rep {t1.simpleString()}"
+        spark = pairs.sparkSession
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(rows, schema)
     cur = (edges.select("u").distinct()
            .withColumn("lab", F.col("u"))
            .localCheckpoint(eager=True))

@@ -257,10 +257,14 @@ def trial_components(spark, rng, seed):
     df = spark.createDataFrame(
         pd.DataFrame(pairs, columns=["id1", "id2"], dtype="object"),
         "id1 long, id2 long").repartition(int(rng.integers(1, 9)))
-    got = {r["id"]: r["rep"] for r in neardup_components(df).collect()}
+    # randomly exercise the driver union-find fast path AND the
+    # distributed label rounds — identical labeling required
+    cap = int(rng.choice([0, 1 << 20]))
+    got = {r["id"]: r["rep"]
+           for r in neardup_components(df, driver_edge_cap=cap).collect()}
     want = uf(pairs)
     check(got == want,
-          f"components mismatch seed={seed}: "
+          f"components mismatch seed={seed} cap={cap}: "
           f"only_got={dict(set(got.items()) - set(want.items()))} "
           f"only_want={dict(set(want.items()) - set(got.items()))}")
 

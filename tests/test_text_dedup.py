@@ -551,14 +551,18 @@ def test_neardup_components_shapes(spark):
              (21, 20),
              (None, 30)]
     df = spark.createDataFrame(pairs, "id1 long, id2 long")
-    comp = {r["id"]: r["rep"]
-            for r in neardup_components(df).collect()}
     want = _uf_components([(a, b) for a, b in pairs
                            if a is not None and b is not None])
-    assert comp == want
-    assert comp[15] == 10 and comp[3] == 1 and comp[5] == 1
-    assert comp[20] == comp[21] == comp[22] == 20
-    assert 30 not in comp or comp[30] == 30  # NULL edge contributes nothing
+    # both paths: driver union-find (default cap) and the distributed
+    # label rounds (cap=0) must produce the identical labeling
+    for cap in (1 << 20, 0):
+        comp = {r["id"]: r["rep"]
+                for r in neardup_components(
+                    df, driver_edge_cap=cap).collect()}
+        assert comp == want, f"cap={cap}"
+        assert comp[15] == 10 and comp[3] == 1 and comp[5] == 1
+        assert comp[20] == comp[21] == comp[22] == 20
+        assert 30 not in comp or comp[30] == 30  # NULL edge adds nothing
 
 
 def test_neardup_components_random_vs_union_find(spark):
@@ -571,9 +575,11 @@ def test_neardup_components_random_vs_union_find(spark):
                  rng.integers(0, dom, size=(n_edges, 2)) if a != b]
         df = spark.createDataFrame(pairs, "id1 long, id2 long") \
             .repartition(int(rng.integers(1, 8)))
+        cap = int(rng.choice([0, 1 << 20]))
         comp = {r["id"]: r["rep"]
-                for r in neardup_components(df).collect()}
-        assert comp == _uf_components(pairs), f"trial {trial}"
+                for r in neardup_components(
+                    df, driver_edge_cap=cap).collect()}
+        assert comp == _uf_components(pairs), f"trial {trial} cap={cap}"
 
 
 def test_dedup_by_components_vs_greedy(spark):
@@ -598,7 +604,8 @@ def test_neardup_components_log_rounds(spark):
     pairs = [(i, i + 1) for i in range(100, 163)]
     df = spark.createDataFrame(pairs, "id1 long, id2 long")
     comp = {r["id"]: r["rep"]
-            for r in neardup_components(df, max_iters=10).collect()}
+            for r in neardup_components(df, max_iters=10,
+                                        driver_edge_cap=0).collect()}
     assert set(comp.values()) == {100} and len(comp) == 64
 
 
