@@ -1376,11 +1376,22 @@ def q_prepare_corpus(spark, sf_dir):
     full SQL replication of all three stages (near-dup via exact
     inverted-index jaccard — valid because LSH at 128/32 banding plus
     exact verification matches exact pairs on this corpus, per
-    minhash_vs_exact)."""
+    minhash_vs_exact). Round-5 fold: the row also carries
+    cc_policy_sum — the doc_id sum of the survivors under
+    ``near_dedup_policy="components"`` (connected-components
+    keep-one) — which the oracle recomputes by extending its SQL
+    replication with a RECURSIVE closure over the same exact pair
+    set: the whole alternate pipeline, end to end, against an
+    independent implementation."""
     docs = _t(spark, sf_dir, "documents")
     out = plans.prepare_corpus(docs.select("doc_id", "text"),
                                jaccard_threshold=0.8, min_quality=0.6)
-    return out.select("doc_id")
+    comp = plans.prepare_corpus(docs.select("doc_id", "text"),
+                                jaccard_threshold=0.8, min_quality=0.6,
+                                near_dedup_policy="components")
+    cc_sum = comp.agg(F.sum("doc_id")).first()[0] or 0
+    return out.select("doc_id").withColumn(
+        "cc_policy_sum", F.lit(int(cc_sum)).cast("long"))
 
 
 def q_bloom_join(spark, sf_dir):
@@ -2189,7 +2200,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS taken "
             "FROM documents GROUP BY lang ORDER BY lang",
         "prepare_corpus":
-            f"""WITH kept1 AS (
+            # cc_policy_sum: the components-policy survivors are
+            # recomputed independently — same exact pair set, RECURSIVE
+            # reachability closure, per-component min representative;
+            # quality is evaluated once over kept1 so both policies
+            # filter the same scored set
+            f"""WITH RECURSIVE kept1 AS (
                 SELECT doc_id, text FROM (
                     SELECT doc_id, text, row_number() OVER (
                         PARTITION BY text ORDER BY doc_id) AS rn
@@ -2201,13 +2217,18 @@ def oracle_sql() -> dict[str, str]:
             inter AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS c
                       FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
                       GROUP BY a.id, b.id),
-            losers AS (SELECT DISTINCT id2 FROM inter
-                       JOIN sizes s1 ON id1 = s1.id
-                       JOIN sizes s2 ON id2 = s2.id
-                       WHERE round(c / (s1.sz + s2.sz - c), 6) >= 0.8),
-            kept2 AS (SELECT doc_id, text FROM kept1
-                      WHERE doc_id NOT IN (SELECT id2 FROM losers)),
-            b2 AS (SELECT doc_id, text, {toks} AS tk FROM kept2),
+            pairs08 AS (SELECT id1, id2 FROM inter
+                        JOIN sizes s1 ON id1 = s1.id
+                        JOIN sizes s2 ON id2 = s2.id
+                        WHERE round(c / (s1.sz + s2.sz - c), 6) >= 0.8),
+            losers AS (SELECT DISTINCT id2 FROM pairs08),
+            e AS (SELECT id1 AS u, id2 AS v FROM pairs08
+                  UNION SELECT id2, id1 FROM pairs08),
+            r AS (SELECT u, u AS v FROM (SELECT DISTINCT u FROM e)
+                  UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+            compx AS (SELECT u, MIN(v) AS rep FROM r GROUP BY u),
+            closers AS (SELECT u AS id2 FROM compx WHERE u <> rep),
+            b2 AS (SELECT doc_id, text, {toks} AS tk FROM kept1),
             c2 AS (SELECT doc_id,
                 length(regexp_replace(text,
                     '[^!-/:-@\\[-`{{-~]', '', 'g'))
@@ -2215,13 +2236,19 @@ def oracle_sql() -> dict[str, str]:
                 len(list_intersect(list_distinct(tk), [{_STOPWORD_LIST}]))
                     / greatest(len(list_distinct(tk)), 1) AS sraw,
                 1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS rraw,
-                len(tk) AS ntok FROM b2)
-            SELECT doc_id FROM c2
-            WHERE round((CASE WHEN ntok BETWEEN 5 AND 100000
-                         THEN 0.4 ELSE 0.0 END)
-                + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
-                + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
-                + least(sraw * 4, 1.0) * 0.2, 4) >= 0.6""",
+                len(tk) AS ntok FROM b2),
+            good AS (SELECT doc_id FROM c2
+                WHERE round((CASE WHEN ntok BETWEEN 5 AND 100000
+                             THEN 0.4 ELSE 0.0 END)
+                    + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
+                    + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
+                    + least(sraw * 4, 1.0) * 0.2, 4) >= 0.6)
+            SELECT doc_id,
+                   (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+                    FROM good WHERE doc_id NOT IN
+                        (SELECT id2 FROM closers)) AS cc_policy_sum
+            FROM good
+            WHERE doc_id NOT IN (SELECT id2 FROM losers)""",
         "flagship_hll_bloom":
             f"SELECT COUNT(DISTINCT token) AS exact_distinct, "
             f"TRUE AS hll_within_bound, CAST(0 AS BIGINT) AS "
