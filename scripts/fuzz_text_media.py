@@ -28,6 +28,16 @@ random corruptions (bad magic, truncated raster, zero dims):
      re-decode to the nearest-neighbor grid of the source exactly;
   7. sample_frames == a python slice oracle (ceil split, stride).
 
+Urls part — random adversarial urls (mixed-case schemes/hosts, default
+and fake ports, tracking params in every position incl. as values,
+empty params, fragments containing '?', tab/space padding, schemeless,
+NULLs):
+
+  8. canonical_url_col == an independent python re-implementation of
+     the seven documented rules, value-for-value, plus idempotence of
+     the JVM expression (this leg caught F.trim's space-only
+     semantics on its first run — see NOTES_r5).
+
 Run: python scripts/fuzz_text_media.py [n_trials]   (default 10)
 """
 
