@@ -254,17 +254,23 @@ def trial_components(spark, rng, seed):
                 parent[max(ra, rb)] = min(ra, rb)
         return {n: find(n) for n in parent}
 
+    # randomly exercise long AND string id types (strings: zero-padded
+    # so lexicographic == numeric order and the union-find oracle's
+    # min() agrees), plus the driver fast path AND distributed rounds
+    id_kind = rng.choice(["long", "string"])
+    if id_kind == "string":
+        pairs = [tuple(None if x is None else f"u{x:021d}" for x in p)
+                 for p in pairs]
     df = spark.createDataFrame(
         pd.DataFrame(pairs, columns=["id1", "id2"], dtype="object"),
-        "id1 long, id2 long").repartition(int(rng.integers(1, 9)))
-    # randomly exercise the driver union-find fast path AND the
-    # distributed label rounds — identical labeling required
+        f"id1 {id_kind}, id2 {id_kind}").repartition(
+        int(rng.integers(1, 9)))
     cap = int(rng.choice([0, 1 << 20]))
     got = {r["id"]: r["rep"]
            for r in neardup_components(df, driver_edge_cap=cap).collect()}
     want = uf(pairs)
     check(got == want,
-          f"components mismatch seed={seed} cap={cap}: "
+          f"components mismatch seed={seed} cap={cap} kind={id_kind}: "
           f"only_got={dict(set(got.items()) - set(want.items()))} "
           f"only_want={dict(set(want.items()) - set(got.items()))}")
 
