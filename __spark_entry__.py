@@ -65,6 +65,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SQL_TOKS = (r"list_filter(string_split_regex(trim(lower(text)), '\s+'),"
              r" x -> x <> '')")
 
+# Fixed adversarial hosts for the registrable-domain parity check
+# (operators/urls.registrable_domain_col): single source for the
+# Spark query AND the DuckDB oracle's independent SQL twin.
+_DOMAIN_HOSTS = [
+    "A.B.Example.CO.UK",
+    "www.example.com",
+    "example.com",
+    "com",
+    "deep.sub.domain.site.org",
+    "shop.co.jp",
+    "192.168.10.1",
+    "t.co",
+    "x.gov.au",
+    "a.b.com.br",
+    "WWW.GOV.UK",
+    "single",
+]
+
 # Fixed adversarial urls for the canonical-url parity check
 # (operators/urls.py): one list feeds BOTH the Spark query and the
 # DuckDB oracle's independent SQL re-implementation. Covers: case +
@@ -157,14 +175,20 @@ def q_tokens_topk(spark, sf_dir):
 
 
 def q_tokens_topk_by_lang(spark, sf_dir):
-    """Grouped heavy hitters: top-3 tokens per lang via window rank."""
+    """Grouped heavy hitters: top-3 tokens per lang — since r5 routed
+    through `cap_per_group` (the per-group cap operator corpus
+    curation uses for per-domain document limits; grouped top-n is
+    the same operator), so the existing window-rank oracle now
+    verifies the operator end to end."""
+    from bloom_filters_spark.operators.sampling import cap_per_group
     docs = _t(spark, sf_dir, "documents")
     toks = ts.tokenize(docs.select("lang", "text"), "text") \
         .select("lang", "token")
     counts = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
-    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
-    return (counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-            .where("rnk <= 3").select("lang", "token", "cnt", "rnk"))
+    capped = cap_per_group(counts, "lang", 3, ["-cnt", "token"],
+                           rank_col="rnk")
+    return capped.select("lang", "token", "cnt",
+                         F.col("rnk").cast("long").alias("rnk"))
 
 
 def q_a2_a3_distinct(spark, sf_dir):
@@ -1637,7 +1661,8 @@ def q_string_digests(spark, sf_dir):
     # canonical-url parity (operators/urls.py): md5 of the '|'-joined
     # canonical forms of the fixed adversarial list — the oracle
     # RE-IMPLEMENTS all seven rules in DuckDB SQL and recomputes it
-    from bloom_filters_spark.operators.urls import with_canonical_url
+    from bloom_filters_spark.operators.urls import (
+        registrable_domain_col, with_canonical_url)
     udf = spark.createDataFrame(list(enumerate(_CANON_URLS, 1)),
                                 "i long, url string")
     canon_arr = F.transform(
@@ -1646,6 +1671,17 @@ def q_string_digests(spark, sf_dir):
     canon = (with_canonical_url(udf)
              .agg(F.md5(F.concat_ws("|", canon_arr))
                   .alias("canon_urls_md5")))
+    # registrable-domain parity over the fixed host list (same
+    # single-source pattern; the oracle re-implements the suffix
+    # heuristic in SQL)
+    hdf = spark.createDataFrame(list(enumerate(_DOMAIN_HOSTS, 1)),
+                                "i long, host string")
+    dom_arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "rd"))),
+        lambda s: s["rd"])
+    dom = (hdf.withColumn("rd", registrable_domain_col("host"))
+           .agg(F.md5(F.concat_ws("|", dom_arr))
+                .alias("domain_checksum")))
 
     docs = _t(spark, sf_dir, "documents")
     return (docs.select(
@@ -1653,7 +1689,7 @@ def q_string_digests(spark, sf_dir):
         F.concat(F.substring("text", 1, 77), F.lit("...")).alias("preview"),
         F.md5(F.col("text")).alias("md5_hex"),
         F.sha2(F.col("text"), 256).alias("sha256_hex"))
-        .crossJoin(sums).crossJoin(canon))
+        .crossJoin(sums).crossJoin(canon).crossJoin(dom))
 
 
 def q_d1_collision_sweep(spark, sf_dir):
@@ -1756,6 +1792,16 @@ def _canon_values() -> str:
     quotes; _CANON_URLS is the single source for both sides)."""
     return ", ".join(f"({i}, '{u}')"
                      for i, u in enumerate(_CANON_URLS, 1))
+
+
+def _domain_values() -> str:
+    return ", ".join(f"({i}, '{h}')"
+                     for i, h in enumerate(_DOMAIN_HOSTS, 1))
+
+
+def _suffix_list() -> str:
+    from bloom_filters_spark.operators.urls import MULTI_PART_SUFFIXES
+    return ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2323,7 +2369,24 @@ def oracle_sql() -> dict[str, str]:
                       '^([a-z][a-z0-9+.-]*://[^/?#]+)/$', '\\1')
                     AS s FROM g)
               SELECT md5(string_agg(s, '|' ORDER BY i)) FROM h)
-              AS canon_urls_md5 """
+              AS canon_urls_md5, """
+            # registrable-domain twin: lowercase, split on '.', keep
+            # last 2 labels (3 when the last 2 form a known
+            # multi-part suffix); IPv4 and <=2-label hosts unchanged
+            f"""(SELECT md5(string_agg(rd, '|' ORDER BY i)) FROM (
+                SELECT i, CASE
+                  WHEN regexp_matches(h,
+                       '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+                       OR len(parts) <= 2 THEN h
+                  WHEN (parts[-2] || '.' || parts[-1])
+                       IN ({_suffix_list()}) AND len(parts) >= 3
+                       THEN parts[-3] || '.' || parts[-2] || '.'
+                            || parts[-1]
+                  ELSE parts[-2] || '.' || parts[-1] END AS rd
+                FROM (SELECT i, lower(s) AS h,
+                             string_split(lower(s), '.') AS parts
+                      FROM (VALUES {_domain_values()}) t(i, s))))
+              AS domain_checksum """
             "FROM documents",
         "d1_collision_sweep":
             "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic, "

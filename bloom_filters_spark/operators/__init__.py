@@ -19,9 +19,10 @@ from .dedup import (cosine_pairs, dedup_by_components, dedup_exact,
                     minhash_signatures, neardup_components, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
                     verify_jaccard)
-from .sampling import (deterministic_sample, hash_split, stratified_take,
-                       weighted_sample)
-from .urls import canonical_url_col, with_canonical_url
+from .sampling import (cap_per_group, deterministic_sample, hash_split,
+                       stratified_take, weighted_sample)
+from .urls import (canonical_url_col, registrable_domain_col,
+                   with_canonical_url)
 from .rollup import (compact_cube, query_rollup,
                      query_rollup_many, rollup_group_estimates,
                      rollup_sketches)
@@ -62,4 +63,5 @@ __all__ = [
     "rollup_sketches", "query_rollup", "query_rollup_many",
     "compact_cube", "rollup_group_estimates",
     "canonical_url_col", "with_canonical_url",
+    "registrable_domain_col", "cap_per_group",
 ]

@@ -116,3 +116,58 @@ def stratified_take(df: DataFrame, group_cols: list[str], n: int, *,
         F.xxhash64(F.col(key_col), F.lit(seed)), F.col(key_col))
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= n).drop("__rk"))
+
+
+def cap_per_group(df: DataFrame, group_cols, n: int, order_by, *,
+                  rank_col: str | None = None,
+                  pre_reduce: bool = False) -> DataFrame:
+    """Keep at most ``n`` rows per group under a DETERMINISTIC order —
+    the per-domain document cap of corpus curation ("at most N pages
+    per registrable domain", Gopher/FineWeb-style), and the generic
+    grouped top-n (`tokens_topk_by_lang` is exactly this operator).
+
+    ``order_by``: column-name strings, ``"-name"`` for descending; it
+    must be a total order (include a unique tiebreak column) or the
+    kept set depends on partition layout. ``rank_col`` optionally
+    exposes the 1-based within-group rank.
+
+    Plan: one shuffle on the group columns + a window row_number —
+    the same cost class as any grouped aggregate. For a HOT group
+    (one domain owning a large share of the crawl) all of its rows
+    shuffle to one task first; ``pre_reduce=True`` inserts a
+    map-side Arrow-batch pre-filter (each batch keeps only its own
+    first ``n`` rows per group — sound because the group's global
+    first-n under a fixed total order survives every batch-local
+    first-n cut), so at most n rows per group PER BATCH reach the
+    shuffle. That caps straggler input at n x n_batches instead of
+    the group's row count; the tradeoff is one Python/Arrow pass
+    over the scan, so leave it off unless the cap is the bottleneck.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    names = [c.lstrip("-") for c in order]
+    ascending = [not c.startswith("-") for c in order]
+    src = df
+    if pre_reduce:
+        def head_n_sorted(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (pdf.sort_values(names, ascending=ascending,
+                                           kind="mergesort")
+                           .groupby(gcols, dropna=False, sort=False)
+                           .head(n))
+
+        src = df.mapInPandas(head_n_sorted, schema=df.schema)
+    # NULLs LAST in both directions: matches pandas sort_values'
+    # na_position="last", so the batch-local pre-cut and the final
+    # window agree on the order even when an order key is NULL
+    w = Window.partitionBy(*gcols).orderBy(
+        *[F.col(nm).asc_nulls_last() if asc
+          else F.col(nm).desc_nulls_last()
+          for nm, asc in zip(names, ascending)])
+    assert "__rn" not in df.columns, "reserved column __rn present"
+    out = (src.withColumn("__rn", F.row_number().over(w))
+           .where(F.col("__rn") <= n))
+    if rank_col is not None:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")

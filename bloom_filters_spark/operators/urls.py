@@ -89,3 +89,48 @@ def with_canonical_url(df: DataFrame, url_col: str = "url",
     fragment/tracking/port/case variants of one page share a key."""
     return df.withColumn(out_col,
                          canonical_url_col(url_col, tracking_params))
+
+
+# Common MULTI-PART public suffixes (a documented SUBSET of the
+# Mozilla Public Suffix List — the ~40 registries under which the
+# registrable domain is three labels, covering the bulk of crawl
+# traffic). The full PSL is external data this sandbox doesn't carry;
+# callers needing exact PSL semantics join their own suffix table and
+# the heuristic's shape (longest-known-suffix + 1 label) is the same.
+MULTI_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.co",
+    "co.in", "co.kr", "co.za", "co.id", "co.th", "co.il",
+    "com.sg", "com.hk", "com.tw", "com.my", "com.ph", "com.vn",
+    "com.sa", "com.eg", "com.pk", "com.ng", "com.pe", "com.ve",
+)
+
+
+def registrable_domain_col(host_col: str = "host",
+                           multi_suffixes=MULTI_PART_SUFFIXES):
+    """Registrable domain ("example.co.uk" for "a.b.example.co.uk") —
+    the per-DOMAIN grouping key corpus curation caps on (per-domain
+    document limits à la Gopher/FineWeb; per-host grouping
+    over-splits sites that shard across subdomains).
+
+    Heuristic: lowercase, then keep the last TWO labels, or the last
+    THREE when the last two form a known multi-part public suffix
+    (see ``MULTI_PART_SUFFIXES`` — a documented subset of the public
+    suffix list, not the full external PSL). Hosts with ≤ 2 labels
+    and IPv4 literals pass through unchanged. Pure-JVM expression —
+    rides the scan like ``canonical_url_col``."""
+    h = F.lower(F.col(host_col) if isinstance(host_col, str) else host_col)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3),
+                        F.element_at(labels, -2), F.element_at(labels, -1))
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (F.when(h.isNull(), F.lit(None).cast("string"))
+            .when(is_ip | (n <= 2), h)
+            .when(last2.isin(*multi_suffixes), last3)
+            .otherwise(last2))

@@ -82,3 +82,51 @@ def test_canonical_url_is_jvm_only(spark):
     plan = with_canonical_url(df)._jdf.queryExecution().executedPlan() \
                                  .toString()
     assert "EvalPython" not in plan
+
+
+def test_registrable_domain(spark):
+    from bloom_filters_spark.operators import registrable_domain_col
+    cases = [
+        ("A.B.Example.CO.UK", "example.co.uk"),   # multi-part suffix
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("com", "com"),                            # single label
+        ("deep.sub.domain.site.org", "site.org"),
+        ("shop.co.jp", "shop.co.jp"),              # registrable itself
+        ("192.168.10.1", "192.168.10.1"),          # IPv4 literal
+        ("t.co", "t.co"),
+        ("x.gov.au", "x.gov.au"),
+        ("a.b.com.br", "b.com.br"),
+        ("WWW.GOV.UK", "www.gov.uk"),              # suffix-owned host
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i long, host string")
+    got = {r["i"]: r["rd"] for r in
+           df.withColumn("rd", registrable_domain_col("host")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"host={h!r} want={want!r} got={got[i]!r}"
+
+
+def test_cap_per_group(spark):
+    """Per-domain document cap: deterministic keep set, rank exposure,
+    and pre_reduce parity (the map-side Arrow pre-filter must not
+    change the result)."""
+    from bloom_filters_spark.operators import cap_per_group
+    rows = [("d1", i, 100 - i) for i in range(10)] \
+        + [("d2", 100 + i, 50 + i) for i in range(3)] \
+        + [("d3", 200, None)]          # NULL order key -> sorts LAST
+    df = spark.createDataFrame(rows, "dom string, doc_id long, score long")
+    kept = cap_per_group(df, "dom", 2, ["-score", "doc_id"])
+    got = sorted((r["dom"], r["doc_id"]) for r in kept.collect())
+    # d1: top-2 by score desc = doc_id 0 (100), 1 (99); d2: 102, 101
+    assert got == [("d1", 0), ("d1", 1), ("d2", 101), ("d2", 102)] \
+        + [("d3", 200)]
+    ranked = cap_per_group(df, "dom", 2, ["-score", "doc_id"],
+                           rank_col="rk")
+    rk = {(r["dom"], r["doc_id"]): r["rk"] for r in ranked.collect()}
+    assert rk[("d1", 0)] == 1 and rk[("d1", 1)] == 2
+    # pre_reduce parity across adversarial partitioning
+    pre = cap_per_group(df.repartition(7), "dom", 2,
+                        ["-score", "doc_id"], pre_reduce=True)
+    assert sorted((r["dom"], r["doc_id"]) for r in pre.collect()) == got
