@@ -31,7 +31,9 @@ Per trial:
      equality; `hash_split` layout-independence (repartitioned input
      maps every key to the same split) + fraction tolerance;
      `stratified_take` exactly min(n, group size) rows per group and
-     layout-independent.
+     layout-independent; `cap_per_group` vs a pandas head-n oracle
+     (zipf domains, tied + NULL scores, doc tiebreak), pre_reduce on
+     AND off.
 
 Run: python scripts/fuzz_query_ops.py [n_trials]   (default 10)
 """
@@ -327,6 +329,32 @@ def trial_sampling(spark, rng, seed):
     check(sorted(r["k"] for r in out.collect()) ==
           sorted(r["k"] for r in out2.collect()),
           f"stratified_take layout-dependent seed={seed}")
+
+    # cap_per_group vs a pandas oracle: random domains, scores with
+    # ties AND NULLs (NULLs-last order), unique doc tiebreak; the
+    # pre_reduce map-side pre-filter must not change the keep set
+    from bloom_filters_spark.operators.sampling import cap_per_group
+    nd = int(rng.integers(500, 3000))
+    doms = np.array([f"d{int(v)}" for v in
+                     rng.zipf(1.7, nd).clip(max=50)], dtype="object")
+    scores = rng.integers(0, 20, nd).astype("object")
+    scores[rng.random(nd) < 0.05] = None
+    cdf_p = pd.DataFrame({"dom": doms, "doc": range(nd),
+                          "score": scores})
+    cdf = spark.createDataFrame(cdf_p, "dom string, doc long, score long")
+    cap_n = int(rng.integers(1, 8))
+    want_keep = set(
+        cdf_p.sort_values(["score", "doc"], ascending=[False, True],
+                          na_position="last")
+        .groupby("dom", sort=False).head(cap_n)["doc"])
+    for pre in (False, True):
+        got_keep = {r["doc"] for r in
+                    cap_per_group(cdf.repartition(6), "dom", cap_n,
+                                  ["-score", "doc"],
+                                  pre_reduce=pre).collect()}
+        check(got_keep == want_keep,
+              f"cap_per_group pre={pre} cap={cap_n} seed={seed}: "
+              f"sym_diff={got_keep ^ want_keep}")
 
 
 def main():
