@@ -80,6 +80,7 @@ _DOMAIN_HOSTS = [
     "x.gov.au",
     "a.b.com.br",
     "WWW.GOV.UK",
+    "www.example.com.",
     "single",
 ]
 
@@ -2383,9 +2384,11 @@ def oracle_sql() -> dict[str, str]:
                        THEN parts[-3] || '.' || parts[-2] || '.'
                             || parts[-1]
                   ELSE parts[-2] || '.' || parts[-1] END AS rd
-                FROM (SELECT i, lower(s) AS h,
-                             string_split(lower(s), '.') AS parts
-                      FROM (VALUES {_domain_values()}) t(i, s))))
+                FROM (SELECT i, h, string_split(h, '.') AS parts
+                      FROM (SELECT i, regexp_replace(lower(s),
+                                '\\.$', '') AS h
+                            FROM (VALUES {_domain_values()})
+                            t(i, s)))))
               AS domain_checksum """
             "FROM documents",
         "d1_collision_sweep":

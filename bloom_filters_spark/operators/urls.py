@@ -123,6 +123,9 @@ def registrable_domain_col(host_col: str = "host",
     and IPv4 literals pass through unchanged. Pure-JVM expression —
     rides the scan like ``canonical_url_col``."""
     h = F.lower(F.col(host_col) if isinstance(host_col, str) else host_col)
+    # FQDN trailing dot ("example.com.") would mint an empty last
+    # label and mangle the suffix match — strip it first
+    h = F.regexp_replace(h, r"\.$", "")
     labels = F.split(h, r"\.")
     n = F.size(labels)
     last2 = F.concat_ws(".", F.element_at(labels, -2),

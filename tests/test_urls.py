@@ -98,6 +98,7 @@ def test_registrable_domain(spark):
         ("x.gov.au", "x.gov.au"),
         ("a.b.com.br", "b.com.br"),
         ("WWW.GOV.UK", "www.gov.uk"),              # suffix-owned host
+        ("www.example.com.", "example.com"),       # FQDN trailing dot
         (None, None),
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
