@@ -294,12 +294,18 @@ def q_text_profile(spark, sf_dir):
         ts.with_fingerprint(
             ts.with_lang_id(
                 ts.with_token_stats(docs.select("doc_id", "text")))))
+    # decontamination flag (r5): docs 3 and 7 stand in for the eval
+    # corpus; any doc sharing a 13-token shingle with them is flagged
+    # (themselves + their exact/near duplicates). The oracle
+    # recomputes the flag with the same shingle SQL + a semi join.
+    out = dd.flag_contamination(
+        out, docs.where(F.col("doc_id").isin(3, 7)), n=13)
     return out.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         "type_token_ratio", "lang_guess", "fingerprint_md5",
         "punct_ratio", "stopword_ratio", "repetition_ratio",
-        "quality_score")
+        "quality_score", "contaminated")
 
 
 def q_cosine_pairs(spark, sf_dir):
@@ -1942,11 +1948,25 @@ def oracle_sql() -> dict[str, str]:
                     + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
                     + least(coalesce(sraw, 0.0) * 4, 1.0) * 0.2, 4)
                     AS quality_score
-                FROM c)
+                FROM c),
+            sh13 AS (SELECT doc_id, CASE
+                WHEN len(t) >= 13 THEN list_distinct(list_transform(
+                    range(1, len(t) - 11),
+                    i -> array_to_string(t[i:i+12], ' ')))
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END AS sh
+                FROM (SELECT doc_id, {toks} AS t FROM documents)),
+            ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh13
+                   WHERE doc_id IN (3, 7)),
+            cont AS (SELECT DISTINCT doc_id FROM
+                     (SELECT doc_id, unnest(sh) AS s FROM sh13) x
+                     JOIN ev USING (s))
             SELECT stats.doc_id, n_tokens, n_distinct_tokens,
                    type_token_ratio, lang_guess, fingerprint_md5,
                    punct_ratio, stopword_ratio, repetition_ratio,
-                   quality_score
+                   quality_score,
+                   stats.doc_id IN (SELECT doc_id FROM cont)
+                       AS contaminated
             FROM stats JOIN lang USING (doc_id)
                  JOIN fp USING (doc_id) JOIN qual USING (doc_id)""",
         "cosine_pairs":

@@ -15,7 +15,8 @@ from .skipping import (build_scan_index, build_scan_index_for_files,
                        extend_scan_index, prune_files, pruned_lookup,
                        pruned_range_scan, stage_clustered)
 from .dedup import (cosine_pairs, dedup_by_components, dedup_exact,
-                    exact_dup_groups, lsh_candidate_pairs,
+                    exact_dup_groups, flag_contamination,
+                    lsh_candidate_pairs,
                     minhash_signatures, neardup_components, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
                     verify_jaccard)
@@ -40,7 +41,7 @@ __all__ = [
     "salted_repartition", "dedup_exact", "exact_dup_groups",
     "minhash_signatures", "lsh_candidate_pairs", "verify_jaccard",
     "neardup_minhash", "simhash_signatures", "neardup_simhash",
-    "neardup_components", "dedup_by_components",
+    "neardup_components", "dedup_by_components", "flag_contamination",
     "ngram_jaccard_pairs", "cosine_pairs", "ann_topk_bruteforce",
     "ann_topk_lsh", "hyperplane_signatures", "tokenize", "tokens_col",
     "with_token_stats", "with_quality_score", "with_lang_id",

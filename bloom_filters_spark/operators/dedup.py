@@ -805,3 +805,40 @@ def dedup_by_components(df: DataFrame, pairs: DataFrame,
     losers = (comp.where(F.col(idc) != F.col("rep"))
               .select(F.col(idc).alias(id_col)).distinct())
     return df.join(losers, id_col, "left_anti")
+
+
+def flag_contamination(df: DataFrame, eval_df: DataFrame, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       eval_text_col: str = "text", n: int = 13,
+                       out_col: str = "contaminated") -> DataFrame:
+    """Benchmark decontamination flag: mark every training document
+    sharing at least one word ``n``-gram with the evaluation corpus —
+    the 13-gram overlap rule published with GPT-3 (Brown et al. 2020,
+    appendix C) and used by later corpus-curation pipelines. Flagged
+    rows are typically dropped or quarantined before training so eval
+    numbers measure generalization, not memorized test items.
+
+    Shingle semantics are ``shingles_col``'s exactly (lowercase,
+    ``\\s+`` tokens, n-grams joined with one space; short-but-nonempty
+    docs contribute their whole-text shingle; empty/NULL docs have no
+    shingles and are never flagged).
+
+    Plan shape at 100 TB: the EVAL side is small (benchmark suites are
+    MBs) — its distinct shingle set is broadcast; the corpus side
+    explodes shingles and left-semi joins the broadcast, so the
+    corpus never shuffles and the flag join back is on the ≤ corpus
+    id set of hits. For eval sets too big to broadcast, pre-filter
+    with a Bloom over eval shingle hashes (`bloom_semijoin`) and keep
+    the exact semi join as the verifier."""
+    ev = (eval_df
+          .select(F.explode(shingles_col(eval_text_col, n)).alias("__s"))
+          .distinct())
+    assert out_col not in df.columns, f"column {out_col} already present"
+    doc_sh = df.select(F.col(id_col),
+                       F.explode(shingles_col(text_col, n)).alias("__s"))
+    hits = (doc_sh.join(F.broadcast(ev), "__s", "left_semi")
+            .select(id_col).distinct()
+            .withColumn(out_col, F.lit(True)))
+    return (df.join(hits, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col),
+                                            F.lit(False))))

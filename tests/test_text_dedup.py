@@ -630,3 +630,30 @@ def test_neardup_components_string_ids(spark):
     mixed = spark.createDataFrame([(1, "a")], "id1 long, id2 string")
     with pytest.raises(ValueError, match="share"):
         neardup_components(mixed)
+
+
+def test_flag_contamination(spark):
+    """13-gram decontamination: a doc embedding an exact 13-token
+    window of an eval doc is flagged; 12-token overlap is not; short
+    eval docs contribute their whole-text shingle; NULL/empty text is
+    never flagged."""
+    from bloom_filters_spark.operators import flag_contamination
+    ev_text = " ".join(f"e{i}" for i in range(20))
+    window13 = " ".join(f"e{i}" for i in range(3, 16))
+    window12 = " ".join(f"e{i}" for i in range(3, 15))
+    docs = spark.createDataFrame(
+        [(1, "prefix words " + window13 + " suffix words"),
+         (2, "prefix words " + window12 + " other suffix here"),
+         (3, "completely unrelated text with many distinct tokens " +
+             " ".join(f"x{i}" for i in range(15))),
+         (4, "tiny eval"),              # == short eval doc 102's text
+         (5, None),
+         (6, "")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(101, ev_text), (102, "tiny eval")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["contaminated"]
+           for r in flag_contamination(docs, evals).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True,
+                   5: False, 6: False}
