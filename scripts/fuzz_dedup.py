@@ -28,7 +28,10 @@ exact duplicates, repeated-token), then checks:
   5. neardup_components vs an independent union-find oracle over a
      random pair graph — random id domains (incl. 2^61-scale),
      duplicate/reversed edges, self-loops, NULL ids, and a planted
-     long chain that forces real pointer-jumping rounds.
+     long chain that forces real pointer-jumping rounds.;
+  6. flag_contamination vs the same python shingle oracle — random
+     shingle width (incl. the production 13-gram rule), eval subset
+     drawn from the corpus itself, exact flag-set equality.
 
 Run: python scripts/fuzz_dedup.py [n_trials]  (default 12, ~4 min)
 """
@@ -276,6 +279,31 @@ def trial_components(spark, rng, seed):
 
 
 
+def trial_contamination(spark, rng, docs, sdf, seed):
+    """flag_contamination vs the independent python shingle oracle:
+    random n (incl. the production 13), random eval subset of the
+    corpus itself (so planted near-dups and edge docs — empty,
+    whitespace-only, exact-dup — land on both sides); a doc is
+    contaminated iff its shingle set intersects the eval set's."""
+    from bloom_filters_spark.operators.dedup import flag_contamination
+
+    n = int(rng.choice([2, 5, 13]))
+    k = min(3, len(docs))
+    eval_ids = [int(x) for x in
+                rng.choice(sorted(docs), size=k, replace=False)]
+    ev_sh = set()
+    for i in eval_ids:
+        ev_sh |= py_shingles(docs[i], n)
+    want = {i: bool(py_shingles(t, n) & ev_sh) for i, t in docs.items()}
+    got = {int(r["doc_id"]): bool(r["contaminated"])
+           for r in flag_contamination(
+               sdf, sdf.where(F.col("doc_id").isin(eval_ids)),
+               n=n).collect()}
+    check(got == want,
+          f"contamination mismatch n={n} eval={eval_ids} seed={seed}: "
+          f"diff={ {i for i in got if got[i] != want[i]} }")
+
+
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     spark = get_spark("fuzz-dedup", cores=16)
@@ -286,7 +314,8 @@ def main():
         docs = make_corpus(rng)
         sdf = spark.createDataFrame(
             pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
-        for fn in (trial_ngram_exact, trial_minhash, trial_simhash_complete):
+        for fn in (trial_ngram_exact, trial_minhash,
+                   trial_simhash_complete, trial_contamination):
             try:
                 fn(spark, rng, docs, sdf, seed)
             except Exception as e:  # noqa: BLE001
@@ -301,7 +330,7 @@ def main():
                 FAILS.append(f"{fn.__name__} seed={seed}: {e!r}")
                 traceback.print_exc()
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
-    print(f"done: {n_trials} trials x 5 properties, {len(FAILS)} failures")
+    print(f"done: {n_trials} trials x 6 properties, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)
 
 
