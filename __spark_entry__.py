@@ -300,12 +300,21 @@ def q_text_profile(spark, sf_dir):
     # recomputes the flag with the same shingle SQL + a semi join.
     out = dd.flag_contamination(
         out, docs.where(F.col("doc_id").isin(3, 7)), n=13)
+    # Gopher repetition rules (r5): dup line/para + n-gram char
+    # fractions, each re-derived exactly by the oracle's unnest+group
+    # CTEs over the same split/tokenize semantics.
+    out = out.join(ts.repetition_stats(docs.select("doc_id", "text")),
+                   "doc_id", "left")
     return out.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         "type_token_ratio", "lang_guess", "fingerprint_md5",
         "punct_ratio", "stopword_ratio", "repetition_ratio",
-        "quality_score", "contaminated")
+        "quality_score", "contaminated",
+        "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac")
 
 
 def q_cosine_pairs(spark, sf_dir):
@@ -1960,15 +1969,83 @@ def oracle_sql() -> dict[str, str]:
                    WHERE doc_id IN (3, 7)),
             cont AS (SELECT DISTINCT doc_id FROM
                      (SELECT doc_id, unnest(sh) AS s FROM sh13) x
-                     JOIN ev USING (s))
+                     JOIN ev USING (s)),
+            lnc AS (SELECT doc_id, v, count(*) AS c FROM
+                (SELECT doc_id, unnest(list_filter(
+                    string_split(text, chr(10)),
+                    x -> regexp_matches(x, '\\S'))) AS v FROM documents) z
+                GROUP BY doc_id, v),
+            lagg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                sum(c * length(v)) AS chars,
+                sum(CASE WHEN c >= 2 THEN (c - 1) * length(v)
+                    ELSE 0 END) AS dupch FROM lnc GROUP BY doc_id),
+            pac AS (SELECT doc_id, v, count(*) AS c FROM
+                (SELECT doc_id, unnest(list_filter(
+                    string_split_regex(text, '\\n{{2,}}'),
+                    x -> regexp_matches(x, '\\S'))) AS v FROM documents) z
+                GROUP BY doc_id, v),
+            pagg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd,
+                sum(c * length(v)) AS chars,
+                sum(CASE WHEN c >= 2 THEN (c - 1) * length(v)
+                    ELSE 0 END) AS dupch FROM pac GROUP BY doc_id),
+            gsrc AS (SELECT doc_id, ng.n AS n, ng.g AS g, count(*) AS c
+                FROM (SELECT doc_id, unnest(flatten(list_transform(
+                    [2, 3, 4, 5], nn -> CASE WHEN len(t) >= nn THEN
+                        list_transform(range(1, len(t) - nn + 2),
+                            i -> {{'n': nn, 'g': array_to_string(
+                                t[i:i + nn - 1], ' ')}})
+                    ELSE [] END))) AS ng
+                    FROM (SELECT doc_id, {toks} AS t FROM documents) z) y
+                GROUP BY doc_id, ng.n, ng.g),
+            gagg AS (SELECT doc_id,
+                max(CASE WHEN n = 2 THEN c * length(g) END) AS top2,
+                max(CASE WHEN n = 3 THEN c * length(g) END) AS top3,
+                max(CASE WHEN n = 4 THEN c * length(g) END) AS top4,
+                sum(CASE WHEN n = 5 AND c >= 2 THEN c * length(g)
+                    ELSE 0 END) AS dup5 FROM gsrc GROUP BY doc_id),
+            tlen AS (SELECT doc_id, greatest(length(text), 1) AS tl
+                     FROM documents)
             SELECT stats.doc_id, n_tokens, n_distinct_tokens,
                    type_token_ratio, lang_guess, fingerprint_md5,
                    punct_ratio, stopword_ratio, repetition_ratio,
                    quality_score,
                    stats.doc_id IN (SELECT doc_id FROM cont)
-                       AS contaminated
+                       AS contaminated,
+                   CAST(coalesce(lagg.n, 0) AS BIGINT) AS n_lines,
+                   -- half-up 4dp of the exact rational in INTEGER
+                   -- space (matches the operator: floor((num*20000 +
+                   -- den) // (2*den)) / 1e4 — double round() is not
+                   -- cross-engine stable at exact .00005 boundaries)
+                   coalesce(((lagg.n - lagg.nd) * 20000 + lagg.n)
+                       // (lagg.n * 2) / 10000.0, 0.0)
+                       AS dup_line_frac,
+                   coalesce((lagg.dupch * 20000 + lagg.chars)
+                       // (lagg.chars * 2) / 10000.0, 0.0)
+                       AS dup_line_char_frac,
+                   coalesce(((pagg.n - pagg.nd) * 20000 + pagg.n)
+                       // (pagg.n * 2) / 10000.0, 0.0)
+                       AS dup_para_frac,
+                   coalesce((pagg.dupch * 20000 + pagg.chars)
+                       // (pagg.chars * 2) / 10000.0, 0.0)
+                       AS dup_para_char_frac,
+                   coalesce((gagg.top2 * 20000 + tlen.tl)
+                       // (tlen.tl * 2) / 10000.0, 0.0)
+                       AS top_2gram_char_frac,
+                   coalesce((gagg.top3 * 20000 + tlen.tl)
+                       // (tlen.tl * 2) / 10000.0, 0.0)
+                       AS top_3gram_char_frac,
+                   coalesce((gagg.top4 * 20000 + tlen.tl)
+                       // (tlen.tl * 2) / 10000.0, 0.0)
+                       AS top_4gram_char_frac,
+                   coalesce((gagg.dup5 * 20000 + tlen.tl)
+                       // (tlen.tl * 2) / 10000.0, 0.0)
+                       AS dup_5gram_char_frac
             FROM stats JOIN lang USING (doc_id)
-                 JOIN fp USING (doc_id) JOIN qual USING (doc_id)""",
+                 JOIN fp USING (doc_id) JOIN qual USING (doc_id)
+                 JOIN tlen ON tlen.doc_id = stats.doc_id
+                 LEFT JOIN lagg ON lagg.doc_id = stats.doc_id
+                 LEFT JOIN pagg ON pagg.doc_id = stats.doc_id
+                 LEFT JOIN gagg ON gagg.doc_id = stats.doc_id""",
         "cosine_pairs":
             """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                           FROM embeddings

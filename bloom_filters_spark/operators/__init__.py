@@ -32,8 +32,9 @@ from .relational import (count_nonempty, count_rows, distinct_count,
                          successor, top_k_by_count)
 from .similarity import (ann_topk_bruteforce, ann_topk_lsh,
                          hyperplane_signatures)
-from .textstats import (tokenize, tokens_col, with_fingerprint, with_lang_id,
-                        with_quality_score, with_token_stats)
+from .textstats import (repetition_stats, tokenize, tokens_col,
+                        with_fingerprint, with_lang_id, with_quality_score,
+                        with_repetition_stats, with_token_stats)
 
 __all__ = [
     "build_sketch", "build_grouped_sketches", "probe_membership",
@@ -45,7 +46,8 @@ __all__ = [
     "ngram_jaccard_pairs", "cosine_pairs", "ann_topk_bruteforce",
     "ann_topk_lsh", "hyperplane_signatures", "tokenize", "tokens_col",
     "with_token_stats", "with_quality_score", "with_lang_id",
-    "with_fingerprint", "sort_limit", "count_rows", "count_nonempty",
+    "with_fingerprint", "repetition_stats", "with_repetition_stats",
+    "sort_limit", "count_rows", "count_nonempty",
     "successor", "predecessor", "top_k_by_count", "distinct_count",
     "exact_membership",
     "probe_indices", "relative_collisions", "absolute_collisions",

@@ -107,6 +107,141 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
         F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")))
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition statistics — the Gopher repetition rules
+    (Rae et al. 2021, "Scaling Language Models", appendix A1.1) that a
+    webtext pipeline filters on before training. One output row per id:
+
+    - ``n_lines`` — non-blank lines (split on ``\\n``, kept when the
+      line holds any ``\\S`` char; identity and char count use the RAW
+      line).
+    - ``dup_line_frac`` — fraction of lines that repeat an earlier
+      line: ``(n_lines - n_distinct_lines) / n_lines``.
+    - ``dup_line_char_frac`` — chars inside the repeated copies:
+      ``sum((count-1) * len(line) over lines with count >= 2) /
+      sum(count * len(line))``.
+    - ``dup_para_frac`` / ``dup_para_char_frac`` — same over
+      paragraphs (split on ``\\n{2,}``).
+    - ``top_{2,3,4}gram_char_frac`` — chars covered by the dominant
+      word n-gram: ``max over grams of count * len(gram) /
+      greatest(len(text), 1)`` (the max is over the PRODUCT, so no
+      tie-break rule is needed); grams join lowercase whitespace
+      tokens with a single space, matching ``shingles_col``.
+    - ``dup_5gram_char_frac`` — ``sum(count * len(gram) over 5-grams
+      with count >= 2) / greatest(len(text), 1)``; overlapping
+      occurrences double-count chars, so values above 1 are possible
+      for pathologically repetitive docs (documented, not clamped —
+      filters threshold well below 1).
+
+    All fractions are rounded half-up to 4dp in EXACT integer
+    arithmetic (``floor((num*20000 + den) / (2*den)) / 10^4``) so the
+    values are reproducible bit-for-bit by any engine from the counts
+    alone — no double-rounding boundary artifacts. NULL / empty text
+    scores 0 everywhere with ``n_lines = 0``.
+
+    Plan shape (the 100 TB path): each family is explode →
+    ``groupBy(id, value)`` → re-aggregate per id — linear work with
+    map-side partial aggregation. The doc-local alternative
+    (``aggregate`` over ``array_distinct`` with a nested ``filter``
+    count) is O(lines²) per document and dies on a single adversarial
+    100k-line doc. All four n-gram sizes ride ONE explode as
+    ``(n, gram)`` structs, so the whole battery is 3 shuffles keyed by
+    (id, value) — no skew (values are doc-scoped), no payload motion
+    beyond the exploded strings themselves.
+    """
+    base = df.select(id_col, text_col)
+
+    def dup_family(split_expr, prefix):
+        vals = (base.select(
+            id_col,
+            # blank = no \S char; F.trim strips ONLY ' ' (the url
+            # canonicalizer fuzz found tab-padded strings dodging it)
+            F.explode(F.filter(split_expr,
+                               lambda x: x.rlike(r"\S"))).alias("v"))
+            .groupBy(id_col, "v").agg(F.count("*").alias("c")))
+        return (vals.groupBy(id_col).agg(
+            F.sum("c").alias(f"__{prefix}_n"),
+            F.count("*").alias(f"__{prefix}_nd"),
+            F.sum(F.col("c") * F.length("v")).alias(f"__{prefix}_chars"),
+            F.sum(F.when(F.col("c") >= 2,
+                         (F.col("c") - 1) * F.length("v"))
+                  .otherwise(F.lit(0))).alias(f"__{prefix}_dup_chars")))
+
+    lines = dup_family(F.split(F.col(text_col), "\n"), "ln")
+    paras = dup_family(F.split(F.col(text_col), "\n{2,}"), "pa")
+
+    toks = tokens_col(text_col)
+
+    def grams_of(t, n):
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return (F.when(F.size(t) >= n,
+                       F.transform(idx, lambda i: F.struct(
+                           F.lit(n).alias("n"),
+                           F.array_join(F.slice(t, i + 1, n), " ")
+                           .alias("g"))))
+                .otherwise(F.array().cast(
+                    "array<struct<n:int,g:string>>")))
+
+    all_grams = F.flatten(F.array(*[grams_of(toks, n)
+                                    for n in (2, 3, 4, 5)]))
+    gram_counts = (base.select(id_col,
+                               F.explode(all_grams).alias("ng"))
+                   .groupBy(id_col, "ng").agg(F.count("*").alias("c")))
+    gchars = F.col("c") * F.length(F.col("ng.g"))
+
+    def top_of(n):
+        return F.max(F.when(F.col("ng.n") == n, gchars))
+
+    grams = (gram_counts.groupBy(id_col).agg(
+        top_of(2).alias("__top2"), top_of(3).alias("__top3"),
+        top_of(4).alias("__top4"),
+        F.sum(F.when((F.col("ng.n") == 5) & (F.col("c") >= 2), gchars)
+              .otherwise(F.lit(0))).alias("__dup5")))
+
+    text_len = F.greatest(F.length(F.col(text_col)), F.lit(1))
+
+    def frac(num, den):
+        # Half-up 4dp rounding of the exact rational num/den, in
+        # integer space: floor((num*20000 + den) / (2*den)) / 10^4.
+        # F.round on the double is NOT cross-engine stable at exact
+        # boundaries (Spark rounds the shortest-repr DECIMAL of the
+        # double, DuckDB/python round the BINARY value — 33/160 =
+        # 0.20625 rounds to .2063 vs .2062; the repetition fuzz caught
+        # it on trial 4). The long numerator stays < 2^53, so the
+        # double division before floor is exact at any real doc size.
+        q = F.floor((num.cast("long") * 20000 + den) / (den * 2))
+        return F.coalesce(q / 10000.0, F.lit(0.0))
+
+    out = (base
+           .join(lines, id_col, "left")
+           .join(paras, id_col, "left")
+           .join(grams, id_col, "left")
+           .select(
+               id_col,
+               F.coalesce("__ln_n", F.lit(0)).alias("n_lines"),
+               frac(F.col("__ln_n") - F.col("__ln_nd"),
+                    F.col("__ln_n")).alias("dup_line_frac"),
+               frac(F.col("__ln_dup_chars"),
+                    F.col("__ln_chars")).alias("dup_line_char_frac"),
+               frac(F.col("__pa_n") - F.col("__pa_nd"),
+                    F.col("__pa_n")).alias("dup_para_frac"),
+               frac(F.col("__pa_dup_chars"),
+                    F.col("__pa_chars")).alias("dup_para_char_frac"),
+               frac(F.col("__top2"), text_len).alias("top_2gram_char_frac"),
+               frac(F.col("__top3"), text_len).alias("top_3gram_char_frac"),
+               frac(F.col("__top4"), text_len).alias("top_4gram_char_frac"),
+               frac(F.col("__dup5"), text_len).alias("dup_5gram_char_frac")))
+    return out
+
+
+def with_repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """``repetition_stats`` joined back onto ``df`` (left join on
+    ``id_col``; stats ride as extra columns)."""
+    return df.join(repetition_stats(df, id_col, text_col), id_col, "left")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Two document fingerprints:
     - fingerprint_md5: md5 of the canonicalized token stream (sorted

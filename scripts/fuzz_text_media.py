@@ -43,6 +43,7 @@ Run: python scripts/fuzz_text_media.py [n_trials]   (default 10)
 
 from __future__ import annotations
 
+from collections import Counter
 import hashlib
 import math
 import os
@@ -363,6 +364,109 @@ def trial_urls(spark, rng, seed):
     check(n_ni == 0, f"canon not idempotent seed={seed} ({n_ni} rows)")
 
 
+# ----------------------------------------------- repetition-stats oracle
+
+def _rfrac(num: int, den: int) -> float:
+    """The operator's exact-integer half-up 4dp rounding of num/den."""
+    return ((num * 20000 + den) // (2 * den)) / 10000.0
+
+
+def _rep_family(vals):
+    vals = [v for v in vals if re.search(r"\S", v, flags=re.ASCII)]
+    if not vals:
+        return 0, 0.0, 0.0
+    c = Counter(vals)
+    n, nd = len(vals), len(c)
+    chars = sum(k * len(v) for v, k in c.items())
+    dupch = sum((k - 1) * len(v) for v, k in c.items() if k >= 2)
+    return n, _rfrac(n - nd, n), _rfrac(dupch, chars)
+
+
+def repetition_oracle(s: str | None) -> dict:
+    """Independent python re-derivation of the documented
+    repetition_stats semantics (Gopher rules): \\n line split,
+    \\n{2,} paragraph split, ASCII \\S blank test, lowercase ASCII-\\s
+    tokens, gram = tokens joined by ' ', exact-integer half-up 4dp."""
+    out = {"n_lines": 0, "dup_line_frac": 0.0, "dup_line_char_frac": 0.0,
+           "dup_para_frac": 0.0, "dup_para_char_frac": 0.0,
+           "top_2gram_char_frac": 0.0, "top_3gram_char_frac": 0.0,
+           "top_4gram_char_frac": 0.0, "dup_5gram_char_frac": 0.0}
+    if s is None:
+        return out
+    nl, dlf, dlcf = _rep_family(s.split("\n"))
+    np_, dpf, dpcf = _rep_family(re.split(r"\n{2,}", s))
+    out.update(n_lines=nl, dup_line_frac=dlf, dup_line_char_frac=dlcf,
+               dup_para_frac=dpf, dup_para_char_frac=dpcf)
+    toks = _tokens(s)
+    tl = max(len(s), 1)
+    for n in (2, 3, 4):
+        grams = Counter(" ".join(toks[i:i + n])
+                        for i in range(len(toks) - n + 1))
+        top = max((k * len(g) for g, k in grams.items()), default=0)
+        out[f"top_{n}gram_char_frac"] = _rfrac(top, tl)
+    g5 = Counter(" ".join(toks[i:i + 5]) for i in range(len(toks) - 4))
+    out["dup_5gram_char_frac"] = _rfrac(
+        sum(k * len(g) for g, k in g5.items() if k >= 2), tl)
+    return out
+
+
+def random_multiline_doc(rng) -> str | None:
+    """Docs with line/paragraph structure: repeated lines, blank-only
+    lines (incl. tab-only — the \\S test must not follow F.trim's
+    space-only semantics), repeated paragraphs, runs of 2+ newlines,
+    heavy token repetition for the n-gram legs."""
+    style = int(rng.integers(0, 12))
+    if style == 0:
+        return None
+    if style == 1:
+        return ""
+    if style == 2:
+        return str(rng.choice(["\n\n\n", " \n\t\n ", "\t", "\n \n"]))
+    lines = []
+    pool = ["alpha beta", "gamma delta epsilon", "the quick fox",
+            "zeta", "repeat me twice", "x y z w", "tabs\there",
+            " padded line ", "", " ", "\t", "один два три"]
+    for _ in range(int(rng.integers(1, 25))):
+        ln = str(pool[int(rng.integers(0, len(pool)))])
+        if rng.random() < 0.3:
+            ln = ln + " " + str(int(rng.integers(0, 4)))
+        lines.append(ln)
+    if rng.random() < 0.5 and lines:          # force duplicate lines
+        lines += [lines[0]] * int(rng.integers(1, 4))
+    sep_pool = ["\n", "\n\n", "\n\n\n", "\n \n"]
+    doc = ""
+    for i, ln in enumerate(lines):
+        if i:
+            doc += str(sep_pool[int(rng.integers(0, len(sep_pool)))])
+        doc += ln
+    if rng.random() < 0.3:                    # heavy n-gram repetition
+        doc += "\n" + " ".join(["spam ham"] * int(rng.integers(3, 10)))
+    return doc
+
+
+_REP_COLS = ["n_lines", "dup_line_frac", "dup_line_char_frac",
+             "dup_para_frac", "dup_para_char_frac", "top_2gram_char_frac",
+             "top_3gram_char_frac", "top_4gram_char_frac",
+             "dup_5gram_char_frac"]
+
+
+def trial_repetition(spark, rng, seed):
+    docs = [random_multiline_doc(rng)
+            for _ in range(int(rng.integers(25, 80)))]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in ts.repetition_stats(df).collect()}
+    check(len(got) == len(docs),
+          f"repetition row count {len(got)} != {len(docs)} seed={seed}")
+    for i, d in enumerate(docs):
+        want = repetition_oracle(d)
+        for c in _REP_COLS:
+            check(got[i][c] == want[c],
+                  f"repetition {c} doc={i} seed={seed}: "
+                  f"got={got[i][c]!r} want={want[c]!r} text={d!r}")
+
+
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("fuzz-text-media", cores=16)
@@ -373,6 +477,7 @@ def main():
         trial_text(spark, rng, seed)
         trial_media(spark, rng, seed)
         trial_urls(spark, rng, seed)
+        trial_repetition(spark, rng, seed)
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
     print(f"done: {n_trials} text+media trials, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)

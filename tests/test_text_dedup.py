@@ -657,3 +657,51 @@ def test_flag_contamination(spark):
            for r in flag_contamination(docs, evals).collect()}
     assert got == {1: True, 2: False, 3: False, 4: True,
                    5: False, 6: False}
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from bloom_filters_spark.operators import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "a b c\na b c\n\nx y\nx y\nx y"),
+         (2, "hello world hello world hello world hello"),
+         (3, None),
+         (4, ""),
+         (5, "   \n \n\t"),            # blank = no \S char (tab-only too)
+         (6, "unique words only here now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in repetition_stats(docs).collect()}
+    # doc 1: 5 non-blank lines, 'a b c' x2 and 'x y' x3 -> 3 dup lines;
+    # dup chars = (2-1)*5 + (3-1)*3 = 11 of 5*2 + 3*3 = 19 line chars
+    assert got[1]["n_lines"] == 5
+    assert got[1]["dup_line_frac"] == round(3 / 5, 4)
+    assert got[1]["dup_line_char_frac"] == round(11 / 19, 4)
+    # paragraphs 'a b c\na b c' and 'x y\nx y\nx y' are distinct
+    assert got[1]["dup_para_frac"] == 0.0
+    # doc 2: 7 tokens; top 2-gram count*len = max over
+    # 'hello world' (3*11) vs 'world hello' (3*11) = 33 of 41 chars
+    assert got[2]["top_2gram_char_frac"] == round(33 / 41, 4)
+    # 5-grams: 'hello world hello world hello' appears twice (overlap),
+    # 'world hello world hello world' once -> dup chars = 2*29
+    assert got[2]["dup_5gram_char_frac"] == round(2 * 29 / 41, 4)
+    # NULL / empty / blank-only text scores 0 everywhere, n_lines 0
+    for did in (3, 4, 5):
+        assert got[did]["n_lines"] == 0
+        assert all(v == 0.0 for k, v in got[did].items()
+                   if k.endswith("frac"))
+    # no repetition at all
+    assert got[6]["dup_line_frac"] == 0.0
+    assert got[6]["dup_5gram_char_frac"] == 0.0
+    assert got[6]["top_2gram_char_frac"] > 0  # a top gram still exists
+
+
+def test_with_repetition_stats_rides_along(spark, docs):
+    from bloom_filters_spark.operators import with_repetition_stats
+    out = with_repetition_stats(docs.limit(20).select("doc_id", "text"))
+    assert out.count() == 20
+    bad = out.where((F.col("dup_line_frac") < 0)
+                    | (F.col("dup_line_frac") > 1)
+                    | (F.col("dup_para_frac") < 0)
+                    | (F.col("dup_para_frac") > 1)
+                    | (F.col("top_2gram_char_frac") < 0)).count()
+    assert bad == 0
