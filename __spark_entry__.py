@@ -259,9 +259,18 @@ def q_dedup_exact_keep(spark, sf_dir):
     kept = dd.dedup_exact(docs, "text", "doc_id").select("doc_id")
     groups = dd.exact_dup_groups(docs, "text", "doc_id") \
         .select(F.col("keep_id").alias("doc_id"), "n_dups")
+    # paragraph-level global dedup (r5): run over the FULL corpus,
+    # report per survivor the md5 of its paragraph-deduped text and
+    # the kept/total paragraph counts — the oracle re-derives the
+    # keep-first labeling with a window + ordered string_agg.
+    paras = dd.dedup_paragraphs(docs).select(
+        "doc_id", F.md5("text_dedup").alias("para_md5"),
+        "n_paras", "n_paras_kept")
     return (kept.join(groups, "doc_id", "left")
             .na.fill({"n_dups": 1})
-            .select("doc_id", F.col("n_dups").cast("long").alias("n_dups")))
+            .join(paras, "doc_id", "left")
+            .select("doc_id", F.col("n_dups").cast("long").alias("n_dups"),
+                    "para_md5", "n_paras", "n_paras_kept"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1873,8 +1882,32 @@ def oracle_sql() -> dict[str, str]:
             "(1000, 0.01), (10000, 0.1), (10000, 0.01), (100000, 0.1), "
             "(100000, 0.01)) AS t(n, p))",
         "dedup_exact_keep":
-            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups "
-            "FROM documents GROUP BY text",
+            """WITH keep AS (SELECT MIN(doc_id) AS doc_id,
+                    COUNT(*) AS n_dups FROM documents GROUP BY text),
+            ps AS (SELECT doc_id, list_filter(
+                    string_split_regex(text, '\\n{2,}'),
+                    x -> regexp_matches(x, '\\S')) AS ps FROM documents),
+            p AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM
+                (SELECT doc_id, unnest(list_transform(
+                    range(1, len(ps) + 1),
+                    i -> {'pos': i, 'para': ps[i]})) AS u FROM ps) z),
+            k AS (SELECT doc_id, pos, para, row_number() OVER
+                    (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                  FROM p),
+            reb AS (SELECT doc_id,
+                    string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                        AS td,
+                    count(*) AS kept FROM k WHERE rn = 1
+                    GROUP BY doc_id)
+            SELECT keep.doc_id, n_dups,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE md5(coalesce(reb.td, '')) END AS para_md5,
+                   CAST(coalesce(len(ps.ps), 0) AS BIGINT) AS n_paras,
+                   CAST(coalesce(reb.kept, 0) AS BIGINT)
+                       AS n_paras_kept
+            FROM keep JOIN documents d ON d.doc_id = keep.doc_id
+                 LEFT JOIN ps ON ps.doc_id = keep.doc_id
+                 LEFT JOIN reb ON reb.doc_id = keep.doc_id""",
         "ngram_jaccard":
             f"""WITH t AS (SELECT doc_id AS id, list_distinct({toks}) AS sh
                            FROM documents),

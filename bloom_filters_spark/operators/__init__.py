@@ -15,7 +15,7 @@ from .skipping import (build_scan_index, build_scan_index_for_files,
                        extend_scan_index, prune_files, pruned_lookup,
                        pruned_range_scan, stage_clustered)
 from .dedup import (cosine_pairs, dedup_by_components, dedup_exact,
-                    exact_dup_groups, flag_contamination,
+                    dedup_paragraphs, exact_dup_groups, flag_contamination,
                     lsh_candidate_pairs,
                     minhash_signatures, neardup_components, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
@@ -39,7 +39,8 @@ from .textstats import (repetition_stats, tokenize, tokens_col,
 __all__ = [
     "build_sketch", "build_grouped_sketches", "probe_membership",
     "cms_lookup", "ibf_recover", "estimate_grouped", "hash_col",
-    "salted_repartition", "dedup_exact", "exact_dup_groups",
+    "salted_repartition", "dedup_exact", "dedup_paragraphs",
+    "exact_dup_groups",
     "minhash_signatures", "lsh_candidate_pairs", "verify_jaccard",
     "neardup_minhash", "simhash_signatures", "neardup_simhash",
     "neardup_components", "dedup_by_components", "flag_contamination",

@@ -126,6 +126,72 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
             .where("__rn = 1").drop("__rn"))
 
 
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     out_col: str = "text_dedup") -> DataFrame:
+    """Global paragraph-level dedup (the C4 move: Raffel et al. 2020
+    drop any three-sentence span seen before; here the unit is the
+    PARAGRAPH — the same granularity most curation stacks use for
+    boilerplate like cookie banners and share-bars that exact
+    doc-level dedup never catches).
+
+    Semantics: paragraphs split on ``\\n{2,}``, kept when they hold a
+    ``\\S`` char (identity = the RAW paragraph string); the FIRST
+    corpus-wide occurrence under ``(id, position)`` order survives,
+    every later occurrence — including repeats inside the same doc —
+    is dropped. Survivors reassemble in original order joined by
+    ``'\\n\\n'``. Output: one row per input id with ``out_col`` (NULL
+    text stays NULL; a doc whose every paragraph was seen before
+    becomes ``''``), ``n_paras`` and ``n_paras_kept``.
+
+    Scale shape: posexplode → winner = ``groupBy(128-bit paragraph
+    fingerprint).agg(min(struct(id, pos)))`` → join back → regroup by
+    id. The winner pick is an AGGREGATION (map-side partial combine),
+    not a window: a boilerplate paragraph repeated 10⁹ times is
+    combined per-partition instead of sorting 10⁹ rows in one window
+    partition. The join back on the fingerprint is the one hot-key
+    spot — it is splittable by AQE skew-join (windows are not), which
+    is why the aggregation+join form is the 100 TB plan. Fingerprints
+    are the same two seeded xxhash64 halves as ``dedup_exact`` (64-bit
+    alone collides at ~10⁹ distinct paragraphs and a collision here
+    silently deletes content)."""
+    paras = F.filter(F.split(F.col(text_col), r"\n{2,}"),
+                     lambda x: x.rlike(r"\S"))
+    exploded = (df.select(id_col, F.posexplode(paras)
+                          .alias("__pos", "__para"))
+                .withColumn("__h1", F.xxhash64(F.col("__para")))
+                .withColumn("__h2", F.xxhash64(F.lit(0x9E3779B9),
+                                               F.col("__para"))))
+    winners = (exploded.groupBy("__h1", "__h2")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("__pos").alias("p")))
+                    .alias("__w")))
+    kept = (exploded.join(winners, ["__h1", "__h2"])
+            .where((F.col("__w.i") == F.col(id_col))
+                   & (F.col("__w.p") == F.col("__pos"))))
+    rebuilt = (kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos").alias("p"),
+                             F.col("__para").alias("t")))),
+                lambda s: s["t"]),
+            "\n\n").alias("__joined"),
+        F.count("*").alias("__kept")))
+    n_paras = F.size(paras)
+    return (df.select(id_col, text_col)
+            .join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.when(F.col(text_col).isNull(), F.lit(None))
+                 .otherwise(F.coalesce("__joined", F.lit("")))
+                 .alias(out_col),
+                F.coalesce(n_paras, F.lit(0)).cast("long")
+                 .alias("n_paras"),
+                F.coalesce("__kept", F.lit(0)).cast("long")
+                 .alias("n_paras_kept")))
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(text-hash group, n_dups, min_id) for groups with >1 member.

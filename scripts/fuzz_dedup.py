@@ -31,7 +31,12 @@ exact duplicates, repeated-token), then checks:
      long chain that forces real pointer-jumping rounds.;
   6. flag_contamination vs the same python shingle oracle — random
      shingle width (incl. the production 13-gram rule), eval subset
-     drawn from the corpus itself, exact flag-set equality.
+     drawn from the corpus itself, exact flag-set equality;
+  7. dedup_paragraphs vs an independent python keep-first oracle —
+     docs sharing a paragraph pool (cross-doc AND within-doc
+     repeats), NULL/blank docs, multi-line paragraphs, separator
+     runs incl. \\n\\t\\n (NOT a break) — reassembled text and
+     kept/total counts exactly equal.
 
 Run: python scripts/fuzz_dedup.py [n_trials]  (default 12, ~4 min)
 """
@@ -39,6 +44,7 @@ Run: python scripts/fuzz_dedup.py [n_trials]  (default 12, ~4 min)
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import numpy as np
@@ -304,6 +310,57 @@ def trial_contamination(spark, rng, docs, sdf, seed):
           f"diff={ {i for i in got if got[i] != want[i]} }")
 
 
+def trial_paragraphs(spark, rng, seed):
+    """dedup_paragraphs vs an independent python keep-first oracle:
+    random multi-paragraph docs sharing a paragraph pool (so
+    cross-doc and within-doc repeats both occur), blank/NULL docs,
+    paragraphs containing single newlines, random separator runs."""
+    from bloom_filters_spark.operators import dedup_paragraphs
+    pool = [f"para {i} " + " ".join(f"t{rng.integers(0, 50)}"
+                                    for _ in range(int(rng.integers(1, 8))))
+            for i in range(int(rng.integers(4, 25)))]
+    pool += ["multi\nline\npara", " padded ", "\ttab lead"]
+    docs: list[str | None] = []
+    for _ in range(int(rng.integers(10, 40))):
+        style = int(rng.integers(0, 10))
+        if style == 0:
+            docs.append(None); continue
+        if style == 1:
+            docs.append(str(rng.choice(["", "\n\n", " \n\n\t "])))
+            continue
+        k = int(rng.integers(1, 8))
+        ps = [str(pool[int(rng.integers(0, len(pool)))])
+              for _ in range(k)]
+        sep = str(rng.choice(["\n\n", "\n\n\n", "\n\t\n"]))
+        # \n\t\n is NOT a paragraph break (needs 2+ consecutive \n)
+        docs.append(sep.join(ps))
+    sdf = spark.createDataFrame(list(enumerate(docs)),
+                                "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup_paragraphs(sdf).collect()}
+    seen: set[str] = set()
+    for i, d in enumerate(docs):
+        g = got[i]
+        if d is None:
+            check(g["text_dedup"] is None and g["n_paras"] == 0,
+                  f"paras NULL doc {i} seed={seed}: {g}")
+            continue
+        ps = [p for p in re.split(r"\n{2,}", d)
+              if re.search(r"\S", p, flags=re.ASCII)]
+        kept = []
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want = "\n\n".join(kept)
+        check(g["text_dedup"] == want,
+              f"paras text doc {i} seed={seed}: "
+              f"got={g['text_dedup']!r} want={want!r}")
+        check(g["n_paras"] == len(ps) and g["n_paras_kept"] == len(kept),
+              f"paras counts doc {i} seed={seed}: {g} "
+              f"want n={len(ps)} kept={len(kept)}")
+
+
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     spark = get_spark("fuzz-dedup", cores=16)
@@ -322,7 +379,7 @@ def main():
                 import traceback
                 FAILS.append(f"{fn.__name__} seed={seed}: {e!r}")
                 traceback.print_exc()
-        for fn in (trial_partitioner, trial_components):
+        for fn in (trial_partitioner, trial_components, trial_paragraphs):
             try:
                 fn(spark, rng, seed)
             except Exception as e:  # noqa: BLE001
@@ -330,7 +387,7 @@ def main():
                 FAILS.append(f"{fn.__name__} seed={seed}: {e!r}")
                 traceback.print_exc()
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
-    print(f"done: {n_trials} trials x 6 properties, {len(FAILS)} failures")
+    print(f"done: {n_trials} trials x 7 properties, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)
 
 

@@ -705,3 +705,48 @@ def test_with_repetition_stats_rides_along(spark, docs):
                     | (F.col("dup_para_frac") > 1)
                     | (F.col("top_2gram_char_frac") < 0)).count()
     assert bad == 0
+
+
+def test_dedup_paragraphs_keep_first_global(spark):
+    from bloom_filters_spark.operators import dedup_paragraphs
+    docs = spark.createDataFrame(
+        [(1, "intro one\n\nshared banner\n\nbody a"),
+         (2, "shared banner\n\nbody b\n\nshared banner"),
+         (3, "body a\n\nfresh content"),
+         (4, None),
+         (5, ""),
+         (6, "\n\n \n\n\t"),          # only blank paragraphs
+         (7, "intro one")],           # fully duplicated doc
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in dedup_paragraphs(docs).collect()}
+    # doc 1 is first for all its paragraphs
+    assert got[1]["text_dedup"] == "intro one\n\nshared banner\n\nbody a"
+    # doc 2: banner first seen in doc 1; its own internal repeat drops too
+    assert got[2]["text_dedup"] == "body b"
+    assert got[2]["n_paras"] == 3 and got[2]["n_paras_kept"] == 1
+    # doc 3: 'body a' seen in doc 1
+    assert got[3]["text_dedup"] == "fresh content"
+    # NULL stays NULL; empty/blank-only become ''
+    assert got[4]["text_dedup"] is None
+    assert got[5]["text_dedup"] == "" and got[6]["text_dedup"] == ""
+    # fully-duplicated doc -> '' with the count preserved
+    assert got[7]["text_dedup"] == ""
+    assert got[7]["n_paras"] == 1 and got[7]["n_paras_kept"] == 0
+    # every input id comes back exactly once
+    assert sorted(got) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_dedup_paragraphs_order_preserved(spark):
+    from bloom_filters_spark.operators import dedup_paragraphs
+    # many paragraphs, shuffled duplicate positions: surviving text
+    # must preserve each doc's original paragraph order
+    paras = [f"para number {i} with some words" for i in range(30)]
+    d1 = "\n\n".join(paras[:20])
+    d2 = "\n\n".join(paras[25:] + paras[5:15] + paras[20:25])
+    docs = spark.createDataFrame([(1, d1), (2, d2)],
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1]["text_dedup"] == d1
+    assert got[2]["text_dedup"] == "\n\n".join(paras[25:] + paras[20:25])
+    assert got[2]["n_paras_kept"] == 10
