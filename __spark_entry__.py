@@ -109,6 +109,28 @@ _CANON_URLS = [
     "http://h.com/p?a=utm_source",
 ]
 
+# Fixed adversarial strings for the PII-scrub parity check
+# (operators/scrub.py): one list feeds BOTH the Spark chain and the
+# DuckDB oracle, which rebuilds the SAME ordered regexp chain from
+# PII_RULES (single source) — no quotes in any entry. Covers: email
+# (incl. +tag and multi-label TLD), dotted quads vs version strings
+# (no \b after a word char), 16-digit cards in all three groupings,
+# SSN shape, international + NANP phones, digit runs that must NOT
+# match, and rule-order interactions (card before phone).
+_PII_STRINGS = [
+    "contact me at john.doe+spam@example.co.uk today",
+    "server at 192.168.1.1 and 10.0.0.255.",
+    "card 4111 1111 1111 1111 expires soon",
+    "card 4111-1111-1111-1111 or 4111111111111111",
+    "ssn 123-45-6789 leaked",
+    "call +14155552671 or (415) 555-2671 or 415.555.2671",
+    "just numbers 12345678901234567 not a card boundary",
+    "v1.2.3.4 version string stays",
+    "a@b.co and no-tld@host stay-partial",
+    "mixed: a@b.io on 10.0.0.1 dialed 212-555-0000 w/ 4242424242424242",
+    "no pii here at all",
+]
+
 
 # ===================================================================
 # entry
@@ -1707,6 +1729,22 @@ def q_string_digests(spark, sf_dir):
     dom = (hdf.withColumn("rd", registrable_domain_col("host"))
            .agg(F.md5(F.concat_ws("|", dom_arr))
                 .alias("domain_checksum")))
+    # PII-scrub parity (operators/scrub.py): md5 of the '|'-joined
+    # scrubbed forms of the fixed adversarial list + total rule hits —
+    # the oracle rebuilds the SAME ordered regexp chain from PII_RULES
+    # in DuckDB SQL (RE2) and must reproduce both values
+    from bloom_filters_spark.operators.scrub import with_scrubbed_text
+    sdf_pii = spark.createDataFrame(list(enumerate(_PII_STRINGS, 1)),
+                                    "i long, s string")
+    scr = with_scrubbed_text(sdf_pii, "s", "sc")
+    pii_arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "sc"))),
+        lambda x: x["sc"])
+    pii = scr.agg(
+        F.md5(F.concat_ws("|", pii_arr)).alias("pii_checksum"),
+        F.sum(F.col("n_emails") + F.col("n_cards") + F.col("n_ids")
+              + F.col("n_ips") + F.col("n_phones"))
+         .cast("long").alias("pii_hits"))
 
     docs = _t(spark, sf_dir, "documents")
     return (docs.select(
@@ -1714,7 +1752,7 @@ def q_string_digests(spark, sf_dir):
         F.concat(F.substring("text", 1, 77), F.lit("...")).alias("preview"),
         F.md5(F.col("text")).alias("md5_hex"),
         F.sha2(F.col("text"), 256).alias("sha256_hex"))
-        .crossJoin(sums).crossJoin(canon).crossJoin(dom))
+        .crossJoin(sums).crossJoin(canon).crossJoin(dom).crossJoin(pii))
 
 
 def q_d1_collision_sweep(spark, sf_dir):
@@ -1822,6 +1860,31 @@ def _canon_values() -> str:
 def _domain_values() -> str:
     return ", ".join(f"({i}, '{h}')"
                      for i, h in enumerate(_DOMAIN_HOSTS, 1))
+
+
+def _pii_values() -> str:
+    return ", ".join(f"({i}, '{s}')"
+                     for i, s in enumerate(_PII_STRINGS, 1))
+
+
+def _pii_scrub_sql(col: str) -> str:
+    """The scrub chain as nested DuckDB regexp_replace, generated from
+    the SAME PII_RULES the Spark operator applies (single source).
+    DuckDB string literals keep backslashes verbatim, so the patterns
+    pass through unescaped; 'g' mirrors Spark's replace-all."""
+    from bloom_filters_spark.operators.scrub import PII_RULES
+    expr = col
+    for tag, pat in PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+    return expr
+
+
+def _pii_count_sql(col: str) -> str:
+    """Total rule hits: sum of len(regexp_extract_all) per pattern —
+    DuckDB's non-overlapping leftmost matches == Spark regexp_count."""
+    from bloom_filters_spark.operators.scrub import PII_RULES
+    return " + ".join(f"len(regexp_extract_all({col}, '{pat}'))"
+                      for _, pat in PII_RULES)
 
 
 def _suffix_list() -> str:
@@ -2519,7 +2582,16 @@ def oracle_sql() -> dict[str, str]:
                                 '\\.$', '') AS h
                             FROM (VALUES {_domain_values()})
                             t(i, s)))))
-              AS domain_checksum """
+              AS domain_checksum, """
+            # PII-scrub twin: the chain below is GENERATED from
+            # operators/scrub.PII_RULES (single source), applied in
+            # the same order with 'g'; hits via regexp_extract_all
+            f"""(WITH p AS (SELECT * FROM (VALUES {_pii_values()})
+                            AS t(i, s))
+              SELECT md5(string_agg({_pii_scrub_sql('s')},
+                         '|' ORDER BY i)) FROM p) AS pii_checksum,
+              (SELECT CAST(SUM({_pii_count_sql('s')}) AS BIGINT)
+               FROM (VALUES {_pii_values()}) t(i, s)) AS pii_hits """
             "FROM documents",
         "d1_collision_sweep":
             "SELECT CAST(5 AS BIGINT) AS n_points, TRUE AS monotonic, "

@@ -20,6 +20,7 @@ from .dedup import (cosine_pairs, dedup_by_components, dedup_exact,
                     minhash_signatures, neardup_components, neardup_minhash,
                     neardup_simhash, ngram_jaccard_pairs, simhash_signatures,
                     verify_jaccard)
+from .scrub import PII_RULES, scrub_pii_col, with_scrubbed_text
 from .sampling import (cap_per_group, deterministic_sample, hash_split,
                        stratified_take, weighted_sample)
 from .urls import (canonical_url_col, registrable_domain_col,
@@ -48,6 +49,7 @@ __all__ = [
     "ann_topk_lsh", "hyperplane_signatures", "tokenize", "tokens_col",
     "with_token_stats", "with_quality_score", "with_lang_id",
     "with_fingerprint", "repetition_stats", "with_repetition_stats",
+    "PII_RULES", "scrub_pii_col", "with_scrubbed_text",
     "sort_limit", "count_rows", "count_nonempty",
     "successor", "predecessor", "top_k_by_count", "distinct_count",
     "exact_membership",

@@ -38,6 +38,22 @@ NULLs):
      the JVM expression (this leg caught F.trim's space-only
      semantics on its first run — see NOTES_r5).
 
+Repetition part — repetition_stats (Gopher rules) vs an independent
+python Counter oracle over multi-line docs with duplicate lines /
+paragraphs, blank-only lines (incl. tab-only), separator runs, and
+heavy n-gram repetition:
+
+  9. all nine columns value-for-value (this leg caught Spark/python
+     double-rounding divergence at an exact .00005 boundary on its
+     first run — the operator now rounds in integer space).
+
+Scrub part — with_scrubbed_text vs the python re.ASCII chain over
+random concatenations of PII fragments, near-misses, and glue that
+stresses \\b interactions:
+
+  10. scrubbed text exactly, plus total rule-hit counts
+      (regexp_count) == python findall counts.
+
 Run: python scripts/fuzz_text_media.py [n_trials]   (default 10)
 """
 
@@ -467,6 +483,68 @@ def trial_repetition(spark, rng, seed):
                   f"got={got[i][c]!r} want={want[c]!r} text={d!r}")
 
 
+# ------------------------------------------------------ pii scrub oracle
+
+_PII_FRAGS = [
+    "user@example.com", "a.b+c@sub.domain.org", "x@y.z", "not@an",
+    "192.168.0.1", "10.0.0.255", "999.999.999.999", "v1.2.3.4",
+    "4111 1111 1111 1111", "4111-1111-1111-1111", "4242424242424242",
+    "12345678901234567", "123-45-6789", "123-456-789",
+    "+14155552671", "+123456", "(415) 555-2671", "415.555.2671",
+    "415 555 2671", "5551234", "plain words", "punct!?", "",
+    "evil@", "@evil.com", "1.2", "12-34-5678",
+]
+
+
+def py_scrub(s: str | None):
+    from bloom_filters_spark.operators.scrub import PII_RULES
+    if s is None:
+        return None
+    for tag, pat in PII_RULES:
+        s = re.sub(pat, tag, s, flags=re.ASCII)
+    return s
+
+
+def py_counts(s: str | None) -> int:
+    from bloom_filters_spark.operators.scrub import PII_RULES
+    if s is None:
+        return 0
+    return sum(len(re.findall(pat, s, flags=re.ASCII))
+               for _, pat in PII_RULES)
+
+
+def trial_scrub(spark, rng, seed):
+    """with_scrubbed_text vs the python re.ASCII chain: random
+    concatenations of PII fragments and near-misses with random
+    glue (spaces, punctuation, digits touching fragments — the \\b
+    interactions are the risky part)."""
+    from bloom_filters_spark.operators import with_scrubbed_text
+    glue = [" ", "  ", ", ", ". ", "x", "7", " -", "\t", "\n"]
+    docs: list[str | None] = [None]
+    for _ in range(int(rng.integers(30, 90))):
+        n = int(rng.integers(1, 6))
+        parts = []
+        for j in range(n):
+            parts.append(str(_PII_FRAGS[int(rng.integers(
+                0, len(_PII_FRAGS)))]))
+            if j + 1 < n:
+                parts.append(str(glue[int(rng.integers(0, len(glue)))]))
+        docs.append("".join(parts))
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "i long, text string")
+    got = {r["i"]: r.asDict() for r in with_scrubbed_text(df).collect()}
+    for i, d in enumerate(docs):
+        want = py_scrub(d)
+        check(got[i]["text_scrubbed"] == want,
+              f"scrub text i={i} seed={seed}: "
+              f"got={got[i]['text_scrubbed']!r} want={want!r} in={d!r}")
+        total = (got[i]["n_emails"] + got[i]["n_cards"] + got[i]["n_ids"]
+                 + got[i]["n_ips"] + got[i]["n_phones"])
+        check(total == py_counts(d),
+              f"scrub counts i={i} seed={seed}: got={total} "
+              f"want={py_counts(d)} in={d!r}")
+
+
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark("fuzz-text-media", cores=16)
@@ -478,6 +556,7 @@ def main():
         trial_media(spark, rng, seed)
         trial_urls(spark, rng, seed)
         trial_repetition(spark, rng, seed)
+        trial_scrub(spark, rng, seed)
         print(f"# trial {t + 1}/{n_trials} done ({len(FAILS)} failures)")
     print(f"done: {n_trials} text+media trials, {len(FAILS)} failures")
     sys.exit(1 if FAILS else 0)

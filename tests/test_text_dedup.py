@@ -750,3 +750,39 @@ def test_dedup_paragraphs_order_preserved(spark):
     assert got[1]["text_dedup"] == d1
     assert got[2]["text_dedup"] == "\n\n".join(paras[25:] + paras[20:25])
     assert got[2]["n_paras_kept"] == 10
+
+
+def test_scrub_pii_rules(spark):
+    from bloom_filters_spark.operators import with_scrubbed_text
+    rows = [
+        (1, "mail john.doe+x@site.org now"),
+        (2, "card 4111 1111 1111 1111 and 4111-1111-1111-1111"),
+        (3, "ssn 123-45-6789; ip 10.0.0.1; call (212) 555-0000"),
+        (4, "intl +491711234567 ok"),
+        (5, "v1.2.3.4 is a version, 12345678901234567 a number"),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {r["i"]: r.asDict() for r in with_scrubbed_text(df).collect()}
+    assert got[1]["text_scrubbed"] == "mail <EMAIL> now"
+    assert got[1]["n_emails"] == 1
+    assert got[2]["text_scrubbed"] == "card <CARD> and <CARD>"
+    assert got[2]["n_cards"] == 2
+    assert got[3]["text_scrubbed"] == "ssn <ID>; ip <IP>; call <PHONE>"
+    assert (got[3]["n_ids"], got[3]["n_ips"], got[3]["n_phones"]) \
+        == (1, 1, 1)
+    assert got[4]["text_scrubbed"] == "intl <PHONE> ok"
+    # \b after a word char ('v1') does not fire; long digit runs are
+    # not cards (no 4-4-4-4 boundary alignment at the end)
+    assert got[5]["text_scrubbed"] == rows[4][1]
+    assert got[6]["text_scrubbed"] is None and got[6]["n_emails"] == 0
+    assert got[7]["text_scrubbed"] == ""
+
+
+def test_scrub_pii_is_jvm_only(spark):
+    from bloom_filters_spark.operators import with_scrubbed_text
+    df = spark.createDataFrame([(1, "a@b.co")], "i long, text string")
+    plan = with_scrubbed_text(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "EvalPython" not in plan  # whole chain stays JVM-side
