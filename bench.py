@@ -479,6 +479,45 @@ def rollup_slices_factor(spark, pages, cube, grain: str = "hour") -> dict:
             "t_cube": round(t_cube, 3), "t_direct": round(t_direct, 3)}
 
 
+def _lined_pages_text(spark):
+    """Pages text with deterministic line/paragraph structure, built
+    by pure-JVM regexes (every 8th word break → \\n, every 4th line
+    break → \\n\\n): the generator emits single-line text, and the
+    line/paragraph operators need real structure to measure. The 10%
+    duplicate pages give true cross-doc paragraph repeats."""
+    pages = _staged_pages(spark).select(
+        F.monotonically_increasing_id().alias("doc_id"), "text")
+    lined = F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+    para = F.regexp_replace(lined, r"((?:[^\n]+\n){3}[^\n]+)\n", "$1\n\n")
+    return pages.select("doc_id", para.alias("text"))
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition battery over 200k pages: 3 shuffles keyed by
+    (doc, value); all four n-gram sizes ride one explode."""
+    from bloom_filters_spark.operators.textstats import repetition_stats
+    rep = repetition_stats(_lined_pages_text(spark))
+    return rep.agg(F.sum("n_lines"), F.avg("dup_line_frac"),
+                   F.avg("top_2gram_char_frac")).collect()
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Global paragraph keep-first over 200k pages (the aggregation-
+    not-window winner pick; duplicate pages supply real repeats)."""
+    out = dd.dedup_paragraphs(_lined_pages_text(spark))
+    return out.agg(F.sum("n_paras"), F.sum("n_paras_kept")).collect()
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII regexp chain over 200k page texts — measures the six-rule
+    whole-stage-codegen scan (the chain cost is regex scanning, hits
+    or not)."""
+    from bloom_filters_spark.operators.scrub import with_scrubbed_text
+    out = with_scrubbed_text(_staged_pages(spark).select("text"))
+    return out.agg(F.sum(F.length("text_scrubbed")),
+                   F.sum("n_phones")).collect()
+
+
 QUERIES = {
     "pages_generate": q_pages_generate,
     "pages_hll_build": q_pages_hll_build,
@@ -505,6 +544,9 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "rollup_slices": q_rollup_slices,
+    "repetition_stats": q_repetition_stats,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "scrub_pii": q_scrub_pii,
 }
 
 
