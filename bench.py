@@ -479,17 +479,22 @@ def rollup_slices_factor(spark, pages, cube, grain: str = "hour") -> dict:
             "t_cube": round(t_cube, 3), "t_direct": round(t_direct, 3)}
 
 
+def line_structure_col(text_col: str):
+    """Deterministic line/paragraph structure as a pure-JVM expression
+    (every 8th word break → \\n, every 4th line break → \\n\\n): the
+    pages generator emits single-line text, and the line/paragraph
+    operators need real structure to measure. Shared with the tier
+    bench (scripts/bench_sf1.py) so 1x/10x measure the same shape."""
+    lined = F.regexp_replace(text_col, r"((?:\S+ ){7}\S+) ", "$1\n")
+    return F.regexp_replace(lined, r"((?:[^\n]+\n){3}[^\n]+)\n", "$1\n\n")
+
+
 def _lined_pages_text(spark):
-    """Pages text with deterministic line/paragraph structure, built
-    by pure-JVM regexes (every 8th word break → \\n, every 4th line
-    break → \\n\\n): the generator emits single-line text, and the
-    line/paragraph operators need real structure to measure. The 10%
-    duplicate pages give true cross-doc paragraph repeats."""
+    """Staged pages with line structure; 10% duplicate pages give true
+    cross-doc paragraph repeats."""
     pages = _staged_pages(spark).select(
         F.monotonically_increasing_id().alias("doc_id"), "text")
-    lined = F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
-    para = F.regexp_replace(lined, r"((?:[^\n]+\n){3}[^\n]+)\n", "$1\n\n")
-    return pages.select("doc_id", para.alias("text"))
+    return pages.select("doc_id", line_structure_col("text").alias("text"))
 
 
 def q_repetition_stats(spark, sf_dir):

