@@ -489,12 +489,27 @@ def line_structure_col(text_col: str):
     return F.regexp_replace(lined, r"((?:[^\n]+\n){3}[^\n]+)\n", "$1\n\n")
 
 
+_LINED_PATH: str | None = None
+
+
 def _lined_pages_text(spark):
-    """Staged pages with line structure; 10% duplicate pages give true
-    cross-doc paragraph repeats."""
-    pages = _staged_pages(spark).select(
-        F.monotonically_increasing_id().alias("doc_id"), "text")
-    return pages.select("doc_id", line_structure_col("text").alias("text"))
+    """Staged pages with line structure, STAGED to parquet with frozen
+    doc ids: the operators under test scan their input several times,
+    and (a) monotonically_increasing_id is only scan-stable by
+    accident of identical re-planning — frozen on disk it is a fact;
+    (b) re-running the newline-ification regexes on every scan would
+    charge fixture cost to the measured operator. 10% duplicate pages
+    give true cross-doc paragraph repeats."""
+    global _LINED_PATH
+    if _LINED_PATH is None:
+        import tempfile
+        _LINED_PATH = os.path.join(tempfile.mkdtemp(prefix="bench_lined"),
+                                   "lined")
+        (_staged_pages(spark)
+         .select(F.monotonically_increasing_id().alias("doc_id"),
+                 line_structure_col("text").alias("text"))
+         .write.parquet(_LINED_PATH))
+    return spark.read.parquet(_LINED_PATH)
 
 
 def q_repetition_stats(spark, sf_dir):
