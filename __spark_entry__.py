@@ -1374,7 +1374,17 @@ def q_token_budget(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = plans.select_token_budget(docs.select("doc_id", "text"),
                                     budget_tokens=10_000, partitions=8)
-    return out.select("doc_id")
+    # token-balanced output sharding (r5): assign the FULL corpus to 4
+    # ~equal-token shards (distributed cumsum + exact integer div),
+    # reported per selected doc — the oracle re-derives start/total
+    # with a SQL window and the same least(3, start*4 // total)
+    from bloom_filters_spark.operators.partitioning import (
+        assign_token_shards)
+    sh = assign_token_shards(docs.select("doc_id", "text"), 4,
+                             partitions=8)
+    return (out.select("doc_id")
+            .join(sh.select("doc_id", "shard"), "doc_id")
+            .select("doc_id", F.col("shard").cast("long").alias("shard")))
 
 
 def q_sampling_splits(spark, sf_dir):
@@ -2389,8 +2399,15 @@ def oracle_sql() -> dict[str, str]:
                     + least(sraw * 4, 1.0) * 0.2, 4) AS qs FROM c),
             w AS (SELECT doc_id, SUM(ntok) OVER (
                     ORDER BY qs DESC, doc_id
-                    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
-            SELECT doc_id FROM w WHERE cum <= 10000""",
+                    ROWS UNBOUNDED PRECEDING) AS cum FROM q),
+            st AS (SELECT doc_id, SUM(ntok) OVER (
+                    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok
+                    AS strt FROM c),
+            tot AS (SELECT SUM(ntok) AS t FROM c)
+            SELECT w.doc_id,
+                   CAST(least(3, strt * 4 // t) AS BIGINT) AS shard
+            FROM w JOIN st ON st.doc_id = w.doc_id, tot
+            WHERE cum <= 10000""",
         "bloom_join":
             """WITH hot AS (SELECT o_orderkey FROM orders
                             WHERE o_totalprice > 400000)

@@ -7,7 +7,8 @@ from .collisions import (absolute_collisions, collision_sweep_k,
 from .frequent import (heavy_hitters, heavy_hitters_by_group,
                        mg_lookup)
 from .joins import bloom_antijoin, bloom_semijoin, estimate_join_size
-from .partitioning import (boundaries_from_sketch, partition_balance,
+from .partitioning import (assign_token_shards, boundaries_from_sketch,
+                           partition_balance,
                            quantile_boundaries, repartition_balanced,
                            with_range_bucket)
 from .reconcile import build_ibf_shards, ibf_diff_shards, reconcile_keys
@@ -50,6 +51,7 @@ __all__ = [
     "with_token_stats", "with_quality_score", "with_lang_id",
     "with_fingerprint", "repetition_stats", "with_repetition_stats",
     "PII_RULES", "scrub_pii_col", "with_scrubbed_text",
+    "assign_token_shards",
     "sort_limit", "count_rows", "count_nonempty",
     "successor", "predecessor", "top_k_by_count", "distinct_count",
     "exact_membership",

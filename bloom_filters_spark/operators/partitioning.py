@@ -127,3 +127,64 @@ def partition_balance(df: DataFrame, col: str,
     cross the shuffle."""
     return (with_range_bucket(df, col, boundaries, out="bucket")
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+def assign_token_shards(df: DataFrame, n_shards: int, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        out_col: str = "shard",
+                        partitions: int = 32) -> DataFrame:
+    """Token-balanced output sharding: assign every document to one of
+    ``n_shards`` contiguous shards of ~equal TOKEN mass (what a
+    training-data writer wants — equal-sized work units — where
+    row-balanced splits skew badly when doc lengths do).
+
+    Definition (re-derivable by any engine): order docs by
+    ``id_col`` ascending; with ``start = (tokens before this doc)``
+    and ``total`` the corpus token sum,
+    ``shard = least(n_shards - 1, start * n_shards div total)``
+    (integer division — exact; double division misassigns boundary
+    docs once ``start * n_shards`` passes 2^53, i.e. at the 10^12-
+    token corpora this library targets). NULL/empty text counts 0
+    tokens and rides wherever the order puts it; ``total == 0`` puts
+    everything in shard 0. A doc larger than a whole shard just owns
+    one (assignment is by prefix start — no doc is split).
+
+    Scale shape: the same two-shuffle distributed cumulative sum as
+    ``select_token_budget`` — ``repartitionByRange`` on the order,
+    per-partition window sums, P partial totals folded on the driver
+    (tiny), offsets broadcast back. No global single-partition sort.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import tokens_col
+    toks = F.coalesce(F.size(tokens_col(text_col)), F.lit(0))
+    ranged = (df.withColumn("__ntok", toks)
+              .repartitionByRange(partitions, F.asc(id_col)))
+    # persist before the two downstream actions — repartitionByRange
+    # re-samples bounds per job (same hazard select_token_budget pins)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    try:
+        w = Window.partitionBy("__pid").orderBy(F.asc(id_col))
+        local = with_pid.withColumn("__cum", F.sum("__ntok").over(w))
+        totals = sorted(
+            (r["__pid"], r["t"]) for r in
+            with_pid.groupBy("__pid").agg(F.sum("__ntok").alias("t"))
+            .collect())
+        offsets, acc = [], 0
+        for pid, t in totals:
+            offsets.append((pid, acc))
+            acc += int(t)
+        total = acc
+        off_df = df.sparkSession.createDataFrame(
+            offsets, "__pid int, __off long")
+        shard = (F.lit(0) if total == 0 else F.least(
+            F.lit(n_shards - 1),
+            F.expr(f"(__cum + __off - __ntok) * {n_shards} "
+                   f"div {total}")))
+        out = (local.join(F.broadcast(off_df), "__pid")
+               .withColumn(out_col, shard.cast("int"))
+               .select(*df.columns, out_col)
+               .localCheckpoint(eager=True))
+    finally:
+        with_pid.unpersist()
+    return out

@@ -356,6 +356,45 @@ def trial_sampling(spark, rng, seed):
               f"cap_per_group pre={pre} cap={cap_n} seed={seed}: "
               f"sym_diff={got_keep ^ want_keep}")
 
+    # assign_token_shards vs a python prefix-sum oracle: random doc
+    # lengths (incl. NULL/empty and one giant doc), random shard
+    # counts and range-partition counts — assignment must be
+    # layout-independent and exactly least(k-1, start*k // total)
+    from bloom_filters_spark.operators import assign_token_shards
+    nd2 = int(rng.integers(20, 120))
+    texts = []
+    for i in range(nd2):
+        style = int(rng.integers(0, 8))
+        if style == 0:
+            texts.append(None)
+        elif style == 1:
+            texts.append("")
+        elif style == 2:
+            texts.append("giant " * int(rng.integers(100, 400)))
+        else:
+            texts.append(" ".join(
+                f"w{int(rng.integers(0, 50))}"
+                for _ in range(int(rng.integers(1, 30)))))
+    sdf2 = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    k = int(rng.integers(2, 9))
+    parts = int(rng.integers(1, 7))
+    got_sh = {r["doc_id"]: r["shard"] for r in
+              assign_token_shards(sdf2.repartition(5), k,
+                                  partitions=parts).collect()}
+    import re as _re
+    lens = [0 if t is None else
+            len([x for x in _re.split(r"\s+", t.strip()) if x])
+            for t in texts]
+    total = sum(lens)
+    start, want_sh = 0, {}
+    for i in range(nd2):
+        want_sh[i] = 0 if total == 0 else min(k - 1, start * k // total)
+        start += lens[i]
+    check(got_sh == want_sh,
+          f"token shards k={k} parts={parts} seed={seed}: "
+          f"diff={[i for i in want_sh if got_sh.get(i) != want_sh[i]][:5]}")
+
 
 def main():
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 10

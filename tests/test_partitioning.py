@@ -104,3 +104,41 @@ def test_n_parts_validation(spark):
     df = spark.range(10).select(F.col("id").cast("double").alias("v"))
     with pytest.raises(ValueError):
         pt.quantile_boundaries(df, "v", 0)
+
+
+def test_assign_token_shards_balanced_and_exact(spark):
+    from bloom_filters_spark.operators import assign_token_shards
+    # 40 docs x 10 tokens = 400 tokens -> 4 shards of exactly 100
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(10))) for i in range(40)],
+        "doc_id long, text string")
+    out = assign_token_shards(docs, 4, partitions=4)
+    got = {r["doc_id"]: r["shard"] for r in out.collect()}
+    assert sorted(got) == list(range(40))
+    for i in range(40):
+        assert got[i] == i // 10          # contiguous, exactly balanced
+    # python oracle on an uneven + NULL/empty corpus
+    import re
+    rows = [(1, "a b c"), (2, None), (3, ""), (4, "x " * 50),
+            (5, "one two"), (6, "t " * 17), (7, "solo")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    out2 = {r["doc_id"]: r["shard"]
+            for r in assign_token_shards(docs2, 3, partitions=2).collect()}
+    ntok = {i: (0 if t is None else
+                len([x for x in re.split(r"\s+", t.strip()) if x]))
+            for i, t in rows}
+    total = sum(ntok.values())
+    start, want = 0, {}
+    for i in sorted(ntok):
+        want[i] = min(2, start * 3 // total)
+        start += ntok[i]
+    assert out2 == want
+
+
+def test_assign_token_shards_all_empty(spark):
+    from bloom_filters_spark.operators import assign_token_shards
+    docs = spark.createDataFrame([(1, None), (2, "")],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r["shard"]
+           for r in assign_token_shards(docs, 8).collect()}
+    assert out == {1: 0, 2: 0}            # total 0 -> everything shard 0
