@@ -108,7 +108,10 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
                    num_perm: int = 128, bands: int = 32,
                    bucket_cap: int | None = None,
                    shingle: int = 1,
-                   near_dedup_policy: str = "greedy") -> DataFrame:
+                   near_dedup_policy: str = "greedy",
+                   max_dup_line_frac: float | None = None,
+                   max_top_2gram_char_frac: float | None = None,
+                   pii_scrub: bool = False) -> DataFrame:
     """End-to-end training-corpus preparation — the composition a data
     pipeline actually runs, built from the library's own operators:
 
@@ -123,11 +126,19 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
          cluster-level policy; O(log n) label-propagation rounds,
          strictly stronger: greedy can keep 2+ docs of one cluster
          when a member's neighbours are all larger);
-      3. QUALITY filter: keep docs with quality_score >= min_quality.
+      3. QUALITY filter: keep docs with quality_score >= min_quality;
+      4. (opt-in) GOPHER repetition gates: ``max_dup_line_frac`` /
+         ``max_top_2gram_char_frac`` drop docs above the threshold
+         (``repetition_stats``, run on the exact-dedup survivors);
+      5. (opt-in) ``pii_scrub=True`` replaces ``text_col`` with the
+         scrubbed form (``scrub_pii_col``) in the OUTPUT — scrubbing
+         runs last so dedup keys and quality scores see the original
+         bytes.
 
     Returns the surviving rows of ``df``. Every stage is the scale
     path (hash-keyed shuffle, zero-shuffle signatures + capped bucket
-    join, pure-JVM scoring)."""
+    join, pure-JVM scoring). Defaults leave stages 4-5 off — the
+    prepare_corpus oracle row pins the default chain byte-stable."""
     from ..operators import dedup as dd
     from ..operators.textstats import with_quality_score
 
@@ -151,8 +162,23 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
         losers = pairs.select(F.col("id2").alias(id_col)).distinct()
         kept = kept.join(losers, id_col, "left_anti")
     scored = with_quality_score(kept)
-    return (scored.where(F.col("quality_score") >= min_quality)
-            .select(*df.columns))
+    out = (scored.where(F.col("quality_score") >= min_quality)
+           .select(*df.columns))
+    if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
+        from ..operators.textstats import repetition_stats
+        rep = repetition_stats(out.select(id_col, text_col),
+                               id_col, text_col)
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_2gram_char_frac is not None:
+            cond = cond & (F.col("top_2gram_char_frac")
+                           <= max_top_2gram_char_frac)
+        out = out.join(rep.where(cond).select(id_col), id_col, "semi")
+    if pii_scrub:
+        from ..operators.scrub import scrub_pii_col
+        out = out.withColumn(text_col, scrub_pii_col(text_col))
+    return out
 
 
 def select_token_budget(df: DataFrame, budget_tokens: int, *,

@@ -156,3 +156,29 @@ def test_prepare_corpus_components_policy(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         prepare_corpus(docs, near_dedup_policy="nope")
+
+
+def test_prepare_corpus_optional_stages(spark):
+    from bloom_filters_spark.plans.queries import prepare_corpus
+    import pyspark.sql.functions as F
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "it is a fine day for all of us to see that")
+    docs = spark.createDataFrame(
+        [(1, base),
+         # heavy duplicate lines, token set disjoint enough from base
+         # that the near-dup stage (jaccard 0.9) keeps it
+         (2, "spam ham\n" * 30 + "totally different words appear now"),
+         (3, "mail me at a@b.co " + base)],
+        "doc_id long, text string")
+    # defaults: stages 4-5 off -> all three survive (distinct, quality ok)
+    kept = prepare_corpus(docs, min_quality=0.3, jaccard_threshold=0.9)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+    # repetition gate drops the duplicate-line doc only
+    gated = prepare_corpus(docs, min_quality=0.3, jaccard_threshold=0.9,
+                           max_dup_line_frac=0.5)
+    assert {r["doc_id"] for r in gated.collect()} == {1, 3}
+    # pii scrub rewrites the output text, after dedup/scoring
+    scrubbed = prepare_corpus(docs, min_quality=0.3,
+                              jaccard_threshold=0.9, pii_scrub=True)
+    t3 = {r["doc_id"]: r["text"] for r in scrubbed.collect()}[3]
+    assert t3.startswith("mail me at <EMAIL> ")
