@@ -154,6 +154,8 @@ def assign_token_shards(df: DataFrame, n_shards: int, *,
     per-partition window sums, P partial totals folded on the driver
     (tiny), offsets broadcast back. No global single-partition sort.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     from pyspark.sql import Window
 
     from .textstats import tokens_col
@@ -164,7 +166,12 @@ def assign_token_shards(df: DataFrame, n_shards: int, *,
     # re-samples bounds per job (same hazard select_token_budget pins)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     try:
-        w = Window.partitionBy("__pid").orderBy(F.asc(id_col))
+        # explicit ROWS frame: the default RANGE frame makes duplicate
+        # id values peers (each would see the summed prefix of ALL its
+        # peers), drifting the boundary off the documented row-prefix
+        # definition; ROWS keeps it per-row regardless of ties
+        w = (Window.partitionBy("__pid").orderBy(F.asc(id_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         local = with_pid.withColumn("__cum", F.sum("__ntok").over(w))
         totals = sorted(
             (r["__pid"], r["t"]) for r in

@@ -47,7 +47,13 @@ PII_RULES: list[tuple[str, str]] = [
     ("<ID>", r"\b\d{3}-\d{2}-\d{4}\b"),
     ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
     ("<PHONE>", r"\+\d{7,15}\b"),
-    ("<PHONE>", r"\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b"),
+    # the NANP form anchors its start like the other digit rules: the
+    # paren alternative is anchored by the literal '(' and the bare
+    # form by \b — without it, '12345.678.9012' (a serial number the
+    # CARD/IP rules correctly reject) would scrub mid-run to
+    # '12<PHONE>'. RE2 has no lookbehind, so the alternation IS the
+    # portable spelling of "not preceded by a digit".
+    ("<PHONE>", r"(\(\d{3}\)|\b\d{3})[ .-]\d{3}[ .-]\d{4}\b"),
 ]
 
 # audit-count column per distinct tag (patterns sharing a tag sum)

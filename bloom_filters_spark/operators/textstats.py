@@ -108,7 +108,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
 
 
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     families: tuple[str, ...] = ("lines", "paras",
+                                                  "grams")) -> DataFrame:
     """Per-document repetition statistics — the Gopher repetition rules
     (Rae et al. 2021, "Scaling Language Models", appendix A1.1) that a
     webtext pipeline filters on before training. One output row per id:
@@ -153,7 +155,18 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     themselves. The input is scanned once per family (lines,
     paragraphs, grams, plus the final join's base projection) —
     persist the id+text projection upstream when the scan dominates.
+
+    ``families`` selects which column groups to compute — callers
+    gating on one fraction (e.g. ``prepare_corpus``'s line gate) skip
+    the other families' shuffles entirely; the output carries only the
+    selected columns (Spark cannot eliminate an unused aggregation
+    subtree through a left join, so opting out at plan-build time is
+    the only way the work actually disappears).
     """
+    unknown = set(families) - {"lines", "paras", "grams"}
+    if unknown or not families:
+        raise ValueError(f"families must be a non-empty subset of "
+                         f"lines/paras/grams, got {families!r}")
     base = df.select(id_col, text_col)
 
     def dup_family(split_expr, prefix):
@@ -171,9 +184,6 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
             F.sum(F.when(F.col("c") >= 2,
                          (F.col("c") - 1) * F.length("v"))
                   .otherwise(F.lit(0))).alias(f"__{prefix}_dup_chars")))
-
-    lines = dup_family(F.split(F.col(text_col), "\n"), "ln")
-    paras = dup_family(F.split(F.col(text_col), "\n{2,}"), "pa")
 
     toks = tokens_col(text_col)
 
@@ -223,29 +233,39 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
         # 0.20625 rounds to .2063 vs .2062; the repetition fuzz caught
         # it on trial 4). The long numerator stays < 2^53, so the
         # double division before floor is exact at any real doc size.
-        q = F.floor((num.cast("long") * 20000 + den) / (den * 2))
+        # den is cast to long too: text_len is IntegerType and den * 2
+        # would wrap at docs past 2^30 chars (Spark strings reach ~2GB).
+        d = den.cast("long")
+        q = F.floor((num.cast("long") * 20000 + d) / (d * 2))
         return F.coalesce(q / 10000.0, F.lit(0.0))
 
-    out = (base
-           .join(lines, id_col, "left")
-           .join(paras, id_col, "left")
-           .join(grams, id_col, "left")
-           .select(
-               id_col,
-               F.coalesce("__ln_n", F.lit(0)).alias("n_lines"),
-               frac(F.col("__ln_n") - F.col("__ln_nd"),
-                    F.col("__ln_n")).alias("dup_line_frac"),
-               frac(F.col("__ln_dup_chars"),
-                    F.col("__ln_chars")).alias("dup_line_char_frac"),
-               frac(F.col("__pa_n") - F.col("__pa_nd"),
-                    F.col("__pa_n")).alias("dup_para_frac"),
-               frac(F.col("__pa_dup_chars"),
-                    F.col("__pa_chars")).alias("dup_para_char_frac"),
-               frac(F.col("__top2"), text_len).alias("top_2gram_char_frac"),
-               frac(F.col("__top3"), text_len).alias("top_3gram_char_frac"),
-               frac(F.col("__top4"), text_len).alias("top_4gram_char_frac"),
-               frac(F.col("__dup5"), text_len).alias("dup_5gram_char_frac")))
-    return out
+    out = base
+    cols = [F.col(id_col)]
+    if "lines" in families:
+        out = out.join(dup_family(F.split(F.col(text_col), "\n"), "ln"),
+                       id_col, "left")
+        cols += [
+            F.coalesce("__ln_n", F.lit(0)).cast("long").alias("n_lines"),
+            frac(F.col("__ln_n") - F.col("__ln_nd"),
+                 F.col("__ln_n")).alias("dup_line_frac"),
+            frac(F.col("__ln_dup_chars"),
+                 F.col("__ln_chars")).alias("dup_line_char_frac")]
+    if "paras" in families:
+        out = out.join(dup_family(F.split(F.col(text_col), "\n{2,}"),
+                                  "pa"), id_col, "left")
+        cols += [
+            frac(F.col("__pa_n") - F.col("__pa_nd"),
+                 F.col("__pa_n")).alias("dup_para_frac"),
+            frac(F.col("__pa_dup_chars"),
+                 F.col("__pa_chars")).alias("dup_para_char_frac")]
+    if "grams" in families:
+        out = out.join(grams, id_col, "left")
+        cols += [
+            frac(F.col("__top2"), text_len).alias("top_2gram_char_frac"),
+            frac(F.col("__top3"), text_len).alias("top_3gram_char_frac"),
+            frac(F.col("__top4"), text_len).alias("top_4gram_char_frac"),
+            frac(F.col("__dup5"), text_len).alias("dup_5gram_char_frac")]
+    return out.select(*cols)
 
 
 def with_repetition_stats(df: DataFrame, id_col: str = "doc_id",

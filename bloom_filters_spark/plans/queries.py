@@ -166,8 +166,17 @@ def prepare_corpus(df: DataFrame, id_col: str = "doc_id",
            .select(*df.columns))
     if max_dup_line_frac is not None or max_top_2gram_char_frac is not None:
         from ..operators.textstats import repetition_stats
+        # materialize the survivors once: repetition_stats re-scans its
+        # input per family and the semi join would otherwise re-execute
+        # the whole LSH/verify/anti-join pipeline on BOTH join sides
+        out = out.localCheckpoint(eager=True)
+        # only the gated families are computed — the gram battery (the
+        # expensive shuffle family) is skipped for a line-only gate
+        fams = tuple([f for f, on in (
+            ("lines", max_dup_line_frac is not None),
+            ("grams", max_top_2gram_char_frac is not None)) if on])
         rep = repetition_stats(out.select(id_col, text_col),
-                               id_col, text_col)
+                               id_col, text_col, families=fams)
         cond = F.lit(True)
         if max_dup_line_frac is not None:
             cond = cond & (F.col("dup_line_frac") <= max_dup_line_frac)

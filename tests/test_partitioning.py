@@ -142,3 +142,11 @@ def test_assign_token_shards_all_empty(spark):
     out = {r["doc_id"]: r["shard"]
            for r in assign_token_shards(docs, 8).collect()}
     assert out == {1: 0, 2: 0}            # total 0 -> everything shard 0
+
+
+def test_assign_token_shards_validates_n_shards(spark):
+    import pytest as _pytest
+    from bloom_filters_spark.operators import assign_token_shards
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        assign_token_shards(docs, 0)

@@ -803,3 +803,37 @@ def test_dedup_lines_unit(spark):
     assert got[1] == "cookie banner\nreal content a\nshare bar"
     assert got[2] == "real content b"
     assert got[3] == "fresh line"
+
+
+def test_scrub_phone_rule_is_start_anchored(spark):
+    # '12345.678.9012' is a serial number: CARD and IP reject it, and
+    # the NANP rule must not scrub mid-run ('12<PHONE>' was the
+    # pre-fix behavior — no leading anchor on the bare-digit form)
+    from bloom_filters_spark.operators import with_scrubbed_text
+    df = spark.createDataFrame(
+        [(1, "serial 12345.678.9012 stays"),
+         (2, "call 345.678.9012 now"),          # boundary-ok: scrubs
+         (3, "x(415) 555-2671 parens anchored")],
+        "i long, text string")
+    got = {r["i"]: r["text_scrubbed"]
+           for r in with_scrubbed_text(df).collect()}
+    assert got[1] == "serial 12345.678.9012 stays"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "x<PHONE> parens anchored"
+
+
+def test_repetition_stats_families_subset(spark):
+    from bloom_filters_spark.operators import repetition_stats
+    import pytest as _pytest
+    docs = spark.createDataFrame([(1, "a b\na b")],
+                                 "doc_id long, text string")
+    lines_only = repetition_stats(docs, families=("lines",))
+    assert lines_only.columns == ["doc_id", "n_lines", "dup_line_frac",
+                                  "dup_line_char_frac"]
+    r = lines_only.collect()[0]
+    assert r["n_lines"] == 2 and r["dup_line_frac"] == 0.5
+    # no Window/posexplode subtree in the plan when grams are skipped
+    plan = lines_only._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan
+    with _pytest.raises(ValueError):
+        repetition_stats(docs, families=("lines", "bogus"))
