@@ -288,11 +288,17 @@ def q_dedup_exact_keep(spark, sf_dir):
     paras = dd.dedup_paragraphs(docs).select(
         "doc_id", F.md5("text_dedup").alias("para_md5"),
         "n_paras", "n_paras_kept")
+    # line-unit twin (r5): same machinery at the LINE grain
+    # (split_regex="\n") — the boilerplate-removal configuration
+    lines = dd.dedup_paragraphs(docs, split_regex=r"\n",
+                                join_sep="\n").select(
+        "doc_id", F.md5("text_dedup").alias("line_md5"))
     return (kept.join(groups, "doc_id", "left")
             .na.fill({"n_dups": 1})
             .join(paras, "doc_id", "left")
+            .join(lines, "doc_id", "left")
             .select("doc_id", F.col("n_dups").cast("long").alias("n_dups"),
-                    "para_md5", "n_paras", "n_paras_kept"))
+                    "para_md5", "n_paras", "n_paras_kept", "line_md5"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1971,16 +1977,32 @@ def oracle_sql() -> dict[str, str]:
                     string_agg(para, chr(10) || chr(10) ORDER BY pos)
                         AS td,
                     count(*) AS kept FROM k WHERE rn = 1
-                    GROUP BY doc_id)
+                    GROUP BY doc_id),
+            ls AS (SELECT doc_id, list_filter(
+                    string_split(text, chr(10)),
+                    x -> regexp_matches(x, '\\S')) AS ls FROM documents),
+            lp AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM
+                (SELECT doc_id, unnest(list_transform(
+                    range(1, len(ls) + 1),
+                    i -> {'pos': i, 'para': ls[i]})) AS u FROM ls) z),
+            lk AS (SELECT doc_id, pos, para, row_number() OVER
+                    (PARTITION BY para ORDER BY doc_id, pos) AS rn
+                   FROM lp),
+            lreb AS (SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS td
+                     FROM lk WHERE rn = 1 GROUP BY doc_id)
             SELECT keep.doc_id, n_dups,
                    CASE WHEN d.text IS NULL THEN NULL
                         ELSE md5(coalesce(reb.td, '')) END AS para_md5,
                    CAST(coalesce(len(ps.ps), 0) AS BIGINT) AS n_paras,
                    CAST(coalesce(reb.kept, 0) AS BIGINT)
-                       AS n_paras_kept
+                       AS n_paras_kept,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE md5(coalesce(lreb.td, '')) END AS line_md5
             FROM keep JOIN documents d ON d.doc_id = keep.doc_id
                  LEFT JOIN ps ON ps.doc_id = keep.doc_id
-                 LEFT JOIN reb ON reb.doc_id = keep.doc_id""",
+                 LEFT JOIN reb ON reb.doc_id = keep.doc_id
+                 LEFT JOIN lreb ON lreb.doc_id = keep.doc_id""",
         "ngram_jaccard":
             f"""WITH t AS (SELECT doc_id AS id, list_distinct({toks}) AS sh
                            FROM documents),

@@ -466,20 +466,36 @@ _REP_COLS = ["n_lines", "dup_line_frac", "dup_line_char_frac",
              "dup_5gram_char_frac"]
 
 
+_FAMILY_COLS = {"lines": ["n_lines", "dup_line_frac",
+                          "dup_line_char_frac"],
+                "paras": ["dup_para_frac", "dup_para_char_frac"],
+                "grams": ["top_2gram_char_frac", "top_3gram_char_frac",
+                          "top_4gram_char_frac", "dup_5gram_char_frac"]}
+
+
 def trial_repetition(spark, rng, seed):
     docs = [random_multiline_doc(rng)
             for _ in range(int(rng.integers(25, 80)))]
     df = spark.createDataFrame(list(enumerate(docs)),
                                "doc_id long, text string")
-    got = {r["doc_id"]: r.asDict()
-           for r in ts.repetition_stats(df).collect()}
+    # random non-empty families subset (2/3 of trials run all three):
+    # a subset run must return exactly the selected columns with the
+    # same values the full run returns
+    fams = ("lines", "paras", "grams")
+    if rng.random() < 1 / 3:
+        fams = tuple(f for f in fams if rng.random() < 0.6) or ("lines",)
+    cols = [c for f in fams for c in _FAMILY_COLS[f]]
+    out_df = ts.repetition_stats(df, families=fams)
+    check(out_df.columns == ["doc_id"] + cols,
+          f"repetition columns for {fams}: {out_df.columns} seed={seed}")
+    got = {r["doc_id"]: r.asDict() for r in out_df.collect()}
     check(len(got) == len(docs),
           f"repetition row count {len(got)} != {len(docs)} seed={seed}")
     for i, d in enumerate(docs):
         want = repetition_oracle(d)
-        for c in _REP_COLS:
+        for c in cols:
             check(got[i][c] == want[c],
-                  f"repetition {c} doc={i} seed={seed}: "
+                  f"repetition {c} doc={i} fams={fams} seed={seed}: "
                   f"got={got[i][c]!r} want={want[c]!r} text={d!r}")
 
 
