@@ -344,6 +344,7 @@ def q_text_profile(spark, sf_dir):
                    "doc_id", "left")
     return out.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         "type_token_ratio", "lang_guess", "fingerprint_md5",
         "punct_ratio", "stopword_ratio", "repetition_ratio",
@@ -1895,6 +1896,13 @@ def _pii_scrub_sql(col: str) -> str:
     return expr
 
 
+def _bpe_pat_sql() -> str:
+    """The BPE-ish pre-tokenizer pattern as a DuckDB string literal
+    body (single source: textstats.BPE_SPLIT; apostrophes doubled)."""
+    from bloom_filters_spark.operators.textstats import BPE_SPLIT
+    return BPE_SPLIT.replace("'", "''")
+
+
 def _pii_count_sql(col: str) -> str:
     """Total rule hits: sum of len(regexp_extract_all) per pattern —
     DuckDB's non-overlapping leftmost matches == Spark regexp_count."""
@@ -2036,12 +2044,15 @@ def oracle_sql() -> dict[str, str]:
                         JOIN sizes s2 ON ginter.id2 = s2.id
             WHERE round(inter_c / (s1.sz + s2.sz - inter_c), 6) >= 0.3""",
         "text_profile":
-            f"""WITH stats AS (SELECT doc_id,
+            f"""WITH stats AS (SELECT z.doc_id,
                 CAST(len(t) AS BIGINT) AS n_tokens,
+                CAST(coalesce(len(regexp_extract_all(d.text,
+                    '{_bpe_pat_sql()}')), 0) AS BIGINT) AS n_bpe_tokens,
                 CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
                 round(len(list_distinct(t)) / greatest(len(t), 1), 4)
                     AS type_token_ratio
-                FROM (SELECT doc_id, {toks} AS t FROM documents)),
+                FROM (SELECT doc_id, {toks} AS t FROM documents) z
+                JOIN documents d ON d.doc_id = z.doc_id),
             h AS (SELECT doc_id,
                 len(list_intersect(list_distinct(t),
                     [{_MARKER_LIST['en']}])) AS hits_en,
@@ -2133,7 +2144,8 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 0 END) AS dup5 FROM gsrc GROUP BY doc_id),
             tlen AS (SELECT doc_id, greatest(length(text), 1) AS tl
                      FROM documents)
-            SELECT stats.doc_id, n_tokens, n_distinct_tokens,
+            SELECT stats.doc_id, n_tokens, n_bpe_tokens,
+                   n_distinct_tokens,
                    type_token_ratio, lang_guess, fingerprint_md5,
                    punct_ratio, stopword_ratio, repetition_ratio,
                    quality_score,

@@ -15,6 +15,27 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 # whitespace tokenization parity: std::stringstream >> word
 TOKEN_SPLIT = r"\s+"
 
+# BPE-ish pre-tokenizer (the GPT-2 pre-tokenization shape: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# residual whitespace). Differences from the published GPT-2 pattern,
+# both deliberate for cross-engine identity: ASCII classes instead of
+# \p{L}/\p{N} (python `re` lacks \p), and no `\s+(?!\S)` trailing-
+# whitespace lookahead (RE2 — the DuckDB oracle engine — has no
+# lookaround). Counting matches of this alternation approximates a
+# BPE tokenizer's pre-token count — the budget unit pipelines size
+# corpora in when the real tokenizer is external.
+BPE_SPLIT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+             r"| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_count_col(text_col: str | Column = "text") -> Column:
+    """Count of BPE-ish pre-tokens (ALL alternation matches, including
+    residual whitespace runs — documented); NULL text counts 0."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.coalesce(
+        F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT), F.lit(0))),
+        F.lit(0))
+
 # tiny per-language marker lexicons (deterministic heuristic, not a model)
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
@@ -43,10 +64,12 @@ def tokenize(df: DataFrame, text_col: str = "text",
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_tokens, n_chars, avg token length, distinct-token ratio."""
+    """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex), n_chars,
+    avg token length, distinct-token ratio."""
     toks = tokens_col(text_col)
     return (df
             .withColumn("n_tokens", F.size(toks))
+            .withColumn("n_bpe_tokens", bpe_token_count_col(text_col))
             .withColumn("n_chars_calc", F.length(F.col(text_col)))
             .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
             .withColumn("avg_token_len",

@@ -206,6 +206,14 @@ def trial_text(spark, rng, seed):
     check(got[len(docs)]["quality_score"] == 0.0,
           f"NULL text quality_score {got[len(docs)]['quality_score']} "
           f"!= 0.0 seed={seed}")
+    # BPE-ish pre-token count == python findall over the same pattern
+    for i, d in enumerate(docs):
+        want_bpe = len(re.findall(ts.BPE_SPLIT, d))
+        check(got[i]["n_bpe_tokens"] == want_bpe,
+              f"n_bpe_tokens doc={i} seed={seed}: "
+              f"got={got[i]['n_bpe_tokens']} want={want_bpe} text={d!r}")
+    check(got[len(docs)]["n_bpe_tokens"] == 0,
+          f"NULL text n_bpe_tokens != 0 seed={seed}")
 
 
 # ----------------------------------------------------------- media oracle

@@ -837,3 +837,22 @@ def test_repetition_stats_families_subset(spark):
     assert "posexplode" not in plan
     with _pytest.raises(ValueError):
         repetition_stats(docs, families=("lines", "bogus"))
+
+
+def test_bpe_token_count(spark):
+    import re
+    from bloom_filters_spark.operators.textstats import (
+        BPE_SPLIT, bpe_token_count_col)
+    texts = ["hello world", "it's a test, isn't it?", "", None,
+             "don't you'll we've I'm 123 45.6 a-b_c",
+             "  multi   spaces\n\nnewlines"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "i long, text string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", bpe_token_count_col("text").alias("n"))
+           .collect()}
+    for i, t in enumerate(texts):
+        want = 0 if t is None else len(re.findall(BPE_SPLIT, t))
+        assert got[i] == want, (t, got[i], want)
+    # the contraction branch splits "it's" into 2 pre-tokens
+    assert got[1] == len(re.findall(BPE_SPLIT, texts[1])) and got[1] == 9
