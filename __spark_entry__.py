@@ -224,7 +224,21 @@ def q_a2_a3_distinct(spark, sf_dir):
     a2 = toks.agg(F.countDistinct("token").alias("n_distinct_tokens"))
     a3 = _t(spark, sf_dir, "events").agg(
         F.countDistinct("user_id").alias("n_distinct_users"))
-    return a2.crossJoin(a3)
+    # corpus_report (r5): the one-call dataset-card summary — exact
+    # columns recomputed by the oracle in SQL, sketch columns folded
+    # as bound assertions (HLL within 3σ of the exact distinct, KLL
+    # quantile ranks within ε + 1/n of target)
+    rep = plans.corpus_report(docs)
+    rep_df = spark.createDataFrame(
+        [(int(rep["n_docs"]), int(rep["n_text_docs"]),
+          int(rep["total_tokens"]), int(rep["total_bpe_tokens"]),
+          int(rep["n_distinct_texts"]), int(rep["n_distinct_langs"]),
+          bool(rep["hll_within_bound"]), bool(rep["kll_rank_ok"]))],
+        "n_docs long, n_text_docs long, total_tokens long, "
+        "total_bpe_tokens long, n_distinct_texts long, "
+        "n_distinct_langs long, hll_within_bound boolean, "
+        "kll_rank_ok boolean")
+    return a2.crossJoin(a3).crossJoin(rep_df)
 
 
 def q_exact_membership(spark, sf_dir):
@@ -1946,7 +1960,19 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({toks}) AS token FROM documents)) "
             "AS n_distinct_tokens, "
             "(SELECT COUNT(DISTINCT user_id) FROM events) "
-            "AS n_distinct_users",
+            "AS n_distinct_users, "
+            "(SELECT COUNT(*) FROM documents) AS n_docs, "
+            "(SELECT COUNT(text) FROM documents) AS n_text_docs, "
+            f"(SELECT CAST(COALESCE(SUM(len(t)), 0) AS BIGINT) FROM "
+            f"(SELECT {toks} AS t FROM documents)) AS total_tokens, "
+            f"(SELECT CAST(COALESCE(SUM(coalesce(len("
+            f"regexp_extract_all(text, '{_bpe_pat_sql()}')), 0)), 0) "
+            "AS BIGINT) FROM documents) AS total_bpe_tokens, "
+            "(SELECT COUNT(DISTINCT text) FROM documents) "
+            "AS n_distinct_texts, "
+            "(SELECT COUNT(DISTINCT lang) FROM documents) "
+            "AS n_distinct_langs, "
+            "TRUE AS hll_within_bound, TRUE AS kll_rank_ok",
         "exact_membership":
             "SELECT r.range AS o_orderkey, "
             "(k.o_orderkey IS NOT NULL) AS present "

@@ -288,3 +288,83 @@ def flagship_hll_bloom(df: DataFrame, col: str, *, p_hll: int = 13,
         probed = probe_membership(probes, probe_col or col, bf)
         out["probe_results"] = probed
     return out
+
+
+def corpus_report(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  lang_col: str | None = "lang", *,
+                  hll_p: int = 13, kll_k: int = 200) -> dict:
+    """One-call dataset-card summary — the numbers a corpus release
+    writes down, each from the library's own scale path:
+
+    exact (one aggregation pass + one distinct pass):
+      ``n_docs``, ``n_text_docs`` (non-NULL text), ``total_tokens``
+      (whitespace), ``total_bpe_tokens`` (BPE-ish pre-tokens),
+      ``n_distinct_texts`` (by the 128-bit dedup fingerprint — equal
+      to COUNT(DISTINCT text) short of a 2^-64 collision),
+      ``n_distinct_langs``, ``n_distinct_tokens`` (exact);
+    sketch-backed (mergeable partials, the 100 TB path):
+      ``hll_tokens_est`` (HLL(p) distinct tokens) with
+      ``hll_within_bound`` (|est − exact| ≤ 3·1.04/√m · exact),
+      ``kll_p50_tokens`` / ``kll_p90_tokens`` (per-doc whitespace
+      token-count quantiles) with ``kll_rank_ok`` (each estimate's
+      EXACT rank within ±(ε + 1/n), ε = 0.04 for KLL(200) — the same
+      tolerance the quantile_bounds oracle row uses).
+
+    Returns a plain dict (driver-side scalars; the heavy work ran as
+    DataFrame jobs). Sketch estimates are deterministic — content-
+    addressed hashing, no RNG."""
+    from ..kernels import HLLSketch, KLLSketch
+    from ..operators.agg import build_sketch
+    from ..operators.dedup import _text_fingerprint
+    from ..operators.textstats import (bpe_token_count_col, tokenize,
+                                       tokens_col)
+
+    h1, h2 = _text_fingerprint(text_col)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.count(text_col).alias("n_text_docs"),
+        F.sum(F.coalesce(F.size(tokens_col(text_col)), F.lit(0)))
+         .alias("total_tokens"),
+        F.sum(bpe_token_count_col(text_col)).alias("total_bpe_tokens"),
+        # NULL-gate the fingerprint halves: Spark's xxhash64 SKIPS null
+        # fields (it returns a seed-derived constant, never NULL), so
+        # an ungated countDistinct would count the NULL-text group as
+        # one distinct "text" while SQL COUNT(DISTINCT text) excludes
+        # NULLs — the corpus_report unit test caught the mismatch
+        F.countDistinct(
+            F.when(F.col(text_col).isNotNull(), h1),
+            F.when(F.col(text_col).isNotNull(), h2))
+         .alias("n_distinct_texts"),
+    ]
+    if lang_col is not None:
+        aggs.append(F.countDistinct(lang_col).alias("n_distinct_langs"))
+    row = df.agg(*aggs).first().asDict()
+    if lang_col is None:
+        row["n_distinct_langs"] = None
+
+    toks = tokenize(df.select(text_col), text_col).select("token")
+    row["n_distinct_tokens"] = toks.distinct().count()
+    hll, _ = build_sketch(toks, "token", lambda: HLLSketch(hll_p))
+    est = float(hll.estimate())
+    row["hll_tokens_est"] = est
+    exact = row["n_distinct_tokens"]
+    row["hll_within_bound"] = bool(
+        abs(est - exact) <= 3 * 1.04 / (2 ** hll_p) ** 0.5 * max(exact, 1))
+
+    lens = df.select(F.coalesce(F.size(tokens_col(text_col)), F.lit(0))
+                     .alias("__n"))
+    kll, n = build_sketch(lens, "__n", lambda: KLLSketch(kll_k),
+                          value_based=True)
+    p50, p90 = float(kll.quantile(0.5)), float(kll.quantile(0.9))
+    row["kll_p50_tokens"], row["kll_p90_tokens"] = p50, p90
+    ranks = lens.agg(
+        (F.sum(F.when(F.col("__n") <= p50, 1).otherwise(0)) / n)
+        .alias("r50"),
+        (F.sum(F.when(F.col("__n") <= p90, 1).otherwise(0)) / n)
+        .alias("r90")).first()
+    tol = 0.04 + 1.0 / max(n, 1)
+    row["kll_rank_ok"] = bool(
+        abs(float(ranks["r50"]) - 0.5) <= tol
+        and abs(float(ranks["r90"]) - 0.9) <= tol)
+    return row

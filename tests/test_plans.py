@@ -182,3 +182,26 @@ def test_prepare_corpus_optional_stages(spark):
                               jaccard_threshold=0.9, pii_scrub=True)
     t3 = {r["doc_id"]: r["text"] for r in scrubbed.collect()}[3]
     assert t3.startswith("mail me at <EMAIL> ")
+
+
+def test_corpus_report(spark):
+    from bloom_filters_spark.plans.queries import corpus_report
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "en"),
+         (2, "a b c d e", "en"),        # exact dup
+         (3, "x y", "de"),
+         (4, None, None),
+         (5, "", "fr")],
+        "doc_id long, text string, lang string")
+    rep = corpus_report(docs)
+    assert rep["n_docs"] == 5 and rep["n_text_docs"] == 4
+    assert rep["total_tokens"] == 12           # 5 + 5 + 2 + 0 + 0
+    assert rep["n_distinct_texts"] == 3        # dup collapses; '' counts
+    assert rep["n_distinct_langs"] == 3
+    assert rep["n_distinct_tokens"] == 7       # a b c d e x y
+    assert rep["hll_within_bound"] and rep["kll_rank_ok"]
+    assert rep["total_bpe_tokens"] > 0
+    # lang_col=None path
+    rep2 = corpus_report(docs.select("doc_id", "text"), lang_col=None)
+    assert rep2["n_distinct_langs"] is None
+    assert rep2["n_docs"] == 5
