@@ -379,3 +379,47 @@ def test_sliding_window_state_row_accounting(spark, tmp_path):
     # on STATE, not on any single window's row count)
     assert sum(out.values()) == 120 * overlap
     assert max(out.values()) == 30     # a full window sees W rows
+
+
+def test_curation_expressions_are_streaming_safe(spark, tmp_path):
+    """The per-doc curation battery (PII scrub, BPE token count,
+    quality score, canonical url) is pure stateless column
+    expressions, so it must run unchanged inside a streaming query —
+    and produce byte-identical rows to the batch run over the same
+    files. repetition_stats / dedup_paragraphs are NOT in this set
+    (corpus-global aggregations belong in foreachBatch or the batch
+    layer, by design)."""
+    from bloom_filters_spark.operators.scrub import with_scrubbed_text
+    from bloom_filters_spark.operators.textstats import (
+        bpe_token_count_col, with_quality_score)
+    from bloom_filters_spark.operators.urls import canonical_url_col
+
+    src = str(tmp_path / "cur_src")
+    rows = [(i, f"HTTP://Host{i % 3}.com:80/p?utm_source=x&k={i}",
+             f"doc {i} mail a{i}@b.co call 415.555.{1000 + i:04d} "
+             + "the quick brown fox " * (i % 4 + 1))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    df.coalesce(2).write.parquet(src)
+
+    def curate(d):
+        return (with_quality_score(with_scrubbed_text(d))
+                .withColumn("n_bpe", bpe_token_count_col("text"))
+                .withColumn("curl", canonical_url_col("url"))
+                .select("doc_id", "text_scrubbed", "n_emails", "n_phones",
+                        "quality_score", "n_bpe", "curl"))
+
+    stream = (spark.readStream
+              .schema("doc_id long, url string, text string").parquet(src))
+    q = (curate(stream).writeStream.format("memory")
+         .queryName("cur_stream").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "cur_cp")).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in
+           spark.sql("SELECT * FROM cur_stream").collect()}
+    want = {r["doc_id"]: r for r in curate(spark.read.parquet(src)).collect()}
+    assert len(got) == 60 and got.keys() == want.keys()
+    for i in want:
+        assert got[i] == want[i]
+    assert all(want[i]["n_emails"] == 1 and want[i]["n_phones"] == 1
+               for i in want)
