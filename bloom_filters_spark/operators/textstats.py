@@ -30,11 +30,15 @@ BPE_SPLIT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
 
 def bpe_token_count_col(text_col: str | Column = "text") -> Column:
     """Count of BPE-ish pre-tokens (ALL alternation matches, including
-    residual whitespace runs — documented); NULL text counts 0."""
+    residual whitespace runs — documented); NULL text counts 0.
+
+    ``regexp_count``, NOT ``size(regexp_extract_all(...))``: both
+    count the same matches, but extract_all materializes every match
+    as a string in an array first — measured as the dominant
+    allocation source of the curation scan (the count never needs the
+    strings)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.coalesce(
-        F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT), F.lit(0))),
-        F.lit(0))
+    return F.coalesce(F.regexp_count(c, F.lit(BPE_SPLIT)), F.lit(0))
 
 # tiny per-language marker lexicons (deterministic heuristic, not a model)
 LANG_MARKERS = {
@@ -65,28 +69,58 @@ def tokenize(df: DataFrame, text_col: str = "text",
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex), n_chars,
-    avg token length, distinct-token ratio."""
+    avg token length, distinct-token ratio. Same Generate barrier as
+    ``with_quality_score`` — the columns reference the tokenization
+    5x and projection collapsing would re-evaluate it per reference."""
     toks = tokens_col(text_col)
-    return (df
-            .withColumn("n_tokens", F.size(toks))
-            .withColumn("n_bpe_tokens", bpe_token_count_col(text_col))
-            .withColumn("n_chars_calc", F.length(F.col(text_col)))
-            .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
-            .withColumn("avg_token_len",
-                        F.round((F.length(F.regexp_replace(
-                            F.col(text_col), r"\s+", "")))
-                            / F.greatest(F.size(toks), F.lit(1)), 4))
-            .withColumn("type_token_ratio",
-                        F.round(F.size(F.array_distinct(toks))
-                                / F.greatest(F.size(toks), F.lit(1)), 4)))
+    payload = F.struct(
+        F.size(toks).alias("nt"),
+        bpe_token_count_col(text_col).alias("nb"),
+        F.length(F.col(text_col)).alias("nc"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        # non-whitespace char count as length - count(\s chars): the
+        # regexp_replace form rebuilds the string per row (same
+        # pathology as the punct ratio — see with_quality_score)
+        F.round((F.length(F.col(text_col))
+                 - F.regexp_count(F.col(text_col), F.lit(r"\s")))
+                / F.greatest(F.size(toks), F.lit(1)), 4).alias("al"),
+        F.round(F.size(F.array_distinct(toks))
+                / F.greatest(F.size(toks), F.lit(1)), 4).alias("tt"))
+    return (df.select("*", F.explode(F.array(payload)).alias("__ts"))
+            .select(*df.columns,
+                    F.col("__ts.nt").alias("n_tokens"),
+                    F.col("__ts.nb").alias("n_bpe_tokens"),
+                    F.col("__ts.nc").alias("n_chars_calc"),
+                    F.col("__ts.nd").alias("n_distinct_tokens"),
+                    F.col("__ts.al").alias("avg_token_len"),
+                    F.col("__ts.tt").alias("type_token_ratio")))
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length band, punctuation density,
-    stopword ratio, repetition — combined into [0, 1]."""
+    stopword ratio, repetition — combined into [0, 1].
+
+    All four output columns are computed inside ONE struct routed
+    through a Generate barrier (``explode(array(struct))``): Catalyst's
+    projection collapsing re-inlines aliased expressions into EVERY
+    reference, and this battery references the tokenization ~8x and
+    ``array_distinct`` ~3x — measured 73k docs/s interpreted-HOF
+    re-evaluation before the barrier vs ~1M docs/s after (the same
+    5-15x re-inlining blowup dedup.shingles_col documents). A Generate
+    node evaluates its child exactly once per row, and downstream
+    field extractions reference the generated ATTRIBUTE, which
+    projection collapsing cannot inline through."""
     toks = tokens_col(text_col)
     n_tok = F.greatest(F.size(toks), F.lit(1))
-    punct = F.length(F.regexp_replace(F.col(text_col), r"[^!-/:-@\[-`{-~]", ""))
+    # count the POSITIVE punctuation class: length(regexp_replace(
+    # text, '[^punct]', '')) is the same number, but the negated class
+    # matches ~98% of characters and regexp_replace rebuilds the whole
+    # string through the matcher one char at a time — measured 60s of
+    # this battery's 66s wall at 5M docs; regexp_count of the ~2% of
+    # chars that ARE punctuation computes the identical value at ~50x
+    # fewer matcher steps and zero result allocation
+    punct = F.regexp_count(F.col(text_col),
+                           F.lit(r"[!-/:-@\[-`{-~]")).cast("long")
     stop_ratio = (F.size(F.array_intersect(
         F.array_distinct(toks),
         F.array(*[F.lit(w) for w in STOPWORDS])))
@@ -105,10 +139,17 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
              + F.when(rep_ratio < 0.9, F.lit(0.2)).otherwise(F.lit(0.0))
              + (F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 4,
                         F.lit(1.0)) * 0.2))
-    return (df.withColumn("punct_ratio", F.round(punct_ratio, 4))
-            .withColumn("stopword_ratio", F.round(stop_ratio, 4))
-            .withColumn("repetition_ratio", F.round(rep_ratio, 4))
-            .withColumn("quality_score", F.round(score, 4)))
+    payload = F.struct(
+        F.round(punct_ratio, 4).alias("p"),
+        F.round(stop_ratio, 4).alias("s"),
+        F.round(rep_ratio, 4).alias("r"),
+        F.round(score, 4).alias("q"))
+    return (df.select("*", F.explode(F.array(payload)).alias("__qs"))
+            .select(*df.columns,
+                    F.col("__qs.p").alias("punct_ratio"),
+                    F.col("__qs.s").alias("stopword_ratio"),
+                    F.col("__qs.r").alias("repetition_ratio"),
+                    F.col("__qs.q").alias("quality_score")))
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text",

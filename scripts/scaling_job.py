@@ -136,6 +136,36 @@ def northstar_job(spark: SparkSession, path: str, passes: int = 2) -> int:
     return n, merged
 
 
+def curation_job(spark: SparkSession, path: str) -> tuple[int, dict]:
+    """The curation battery as ONE whole-stage-codegen scan: PII scrub
+    chain (6 regexes), BPE-ish pre-token count, quality score, and url
+    canonicalization over every staged page, reduced to checksums by a
+    map-side partial aggregation. Unlike ``northstar_job`` (whose
+    workers are Arrow-batched python kernels), this job has NO python
+    in the executor path at all — it measures the JVM expression
+    engine's scaling, the other half of the library's execution story.
+    """
+    from bloom_filters_spark.operators.scrub import scrub_pii_col
+    from bloom_filters_spark.operators.textstats import (
+        bpe_token_count_col, with_quality_score)
+    from bloom_filters_spark.operators.urls import canonical_url_col
+
+    pages = spark.read.parquet(path)
+    sel = with_quality_score(pages).select(
+        F.length(scrub_pii_col("text")).alias("sl"),
+        bpe_token_count_col("text").alias("nb"),
+        F.col("quality_score").alias("q"),
+        F.length(canonical_url_col("url")).alias("cu"))
+    row = sel.agg(F.sum("sl").alias("scrub_chars"),
+                  F.sum("nb").alias("bpe_tokens"),
+                  F.round(F.sum("q"), 2).alias("quality_sum"),
+                  F.sum("cu").alias("canon_chars"),
+                  F.count("*").alias("n")).first()
+    return int(row["n"]), {k: row[k] for k in
+                           ("scrub_chars", "bpe_tokens", "quality_sum",
+                            "canon_chars")}
+
+
 def check_results(spark, path, merged) -> None:
     """Correctness gates, run once per --run OUTSIDE the timed region
     (the BASELINE metric is sketch-BUILD throughput; the probe is a
@@ -157,6 +187,27 @@ def main() -> None:
         generate_pages(spark, n, partitions=256).select("url", "text") \
             .write.parquet(path)
         spark.stop()
+        return
+    if mode == "--run-curation":
+        path, cores, out = sys.argv[2], int(sys.argv[3]), sys.argv[4]
+        spark = get_session(cores)
+        n, sums0 = curation_job(spark, path)       # warm-up (JIT)
+        times, sums = [], None
+        for _ in range(2):
+            t0 = time.time()
+            n, sums = curation_job(spark, path)
+            times.append(time.time() - t0)
+        spark.stop()
+        # determinism gate: the checksums must be identical run-to-run
+        assert sums == sums0, f"curation checksums drift: {sums0} {sums}"
+        sec = min(times)
+        with open(out, "w") as f:
+            json.dump({"cores": cores, "sec": round(sec, 2),
+                       "all_secs": [round(t, 2) for t in times],
+                       "docs_per_sec": round(n / sec, 1), "n": n,
+                       "checksums": {k: int(v) if k != "quality_sum"
+                                     else float(v)
+                                     for k, v in sums.items()}}, f)
         return
     assert mode == "--run"
     path, cores, out = sys.argv[2], int(sys.argv[3]), sys.argv[4]
