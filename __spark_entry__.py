@@ -2075,7 +2075,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(coalesce(len(regexp_extract_all(d.text,
                     '{_bpe_pat_sql()}')), 0) AS BIGINT) AS n_bpe_tokens,
                 CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-                round(len(list_distinct(t)) / greatest(len(t), 1), 4)
+                (len(list_distinct(t)) * 20000 + greatest(len(t), 1))
+                    // (2 * greatest(len(t), 1)) / 10000.0
                     AS type_token_ratio
                 FROM (SELECT doc_id, {toks} AS t FROM documents) z
                 JOIN documents d ON d.doc_id = z.doc_id),
@@ -2105,22 +2106,33 @@ def oracle_sql() -> dict[str, str]:
                 list_distinct({toks})), ' ')) AS fingerprint_md5
                 FROM documents),
             b AS (SELECT doc_id, text, {toks} AS t FROM documents),
+            -- integer counts for the exact-integer 4dp rounding
+            -- (matches the operator's _frac4 — double round() is not
+            -- cross-engine stable at exact boundaries, e.g. 19/160);
+            -- raw double ratios feed only the threshold flags
             c AS (SELECT doc_id,
                 length(regexp_replace(text,
-                    '[^!-/:-@\\[-`{{-~]', '', 'g'))
-                    / greatest(length(text), 1) AS praw,
+                    '[^!-/:-@\\[-`{{-~]', '', 'g')) AS pn,
+                greatest(length(text), 1) AS pd,
                 len(list_intersect(list_distinct(t), [{_STOPWORD_LIST}]))
-                    / greatest(len(list_distinct(t)), 1) AS sraw,
-                1.0 - len(list_distinct(t)) / greatest(len(t), 1) AS rraw,
+                    AS sn,
+                greatest(coalesce(len(list_distinct(t)), 0), 1) AS sd,
+                len(list_distinct(t)) AS nd,
                 len(t) AS ntok FROM b),
-            qual AS (SELECT doc_id, round(praw, 4) AS punct_ratio,
-                round(sraw, 4) AS stopword_ratio,
-                round(rraw, 4) AS repetition_ratio,
-                round((CASE WHEN ntok BETWEEN 5 AND 100000
-                       THEN 0.4 ELSE 0.0 END)
-                    + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
-                    + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
-                    + least(coalesce(sraw, 0.0) * 4, 1.0) * 0.2, 4)
+            qual AS (SELECT doc_id,
+                (pn * 20000 + pd) // (2 * pd) / 10000.0 AS punct_ratio,
+                (sn * 20000 + sd) // (2 * sd) / 10000.0
+                    AS stopword_ratio,
+                ((ntok - nd) * 20000 + greatest(ntok, 1))
+                    // (2 * greatest(ntok, 1)) / 10000.0
+                    AS repetition_ratio,
+                ((CASE WHEN ntok BETWEEN 5 AND 100000
+                       THEN 4000 ELSE 0 END)
+                    + (CASE WHEN pn / pd < 0.2 THEN 2000 ELSE 0 END)
+                    + (CASE WHEN 1.0 - nd / greatest(ntok, 1) < 0.9
+                       THEN 2000 ELSE 0 END)
+                    + least(2000, (coalesce(sn, 0) * 16000 + sd)
+                            // (2 * sd))) / 10000.0
                     AS quality_score
                 FROM c),
             sh13 AS (SELECT doc_id, CASE
@@ -2445,18 +2457,24 @@ def oracle_sql() -> dict[str, str]:
                            FROM documents),
             c AS (SELECT doc_id, len(tk) AS ntok,
                 length(regexp_replace(text,
-                    '[^!-/:-@\\[-`{{-~]', '', 'g'))
-                    / greatest(length(text), 1) AS praw,
+                    '[^!-/:-@\\[-`{{-~]', '', 'g')) AS pn,
+                greatest(length(text), 1) AS pd,
                 len(list_intersect(list_distinct(tk), [{_STOPWORD_LIST}]))
-                    / greatest(len(list_distinct(tk)), 1) AS sraw,
-                1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS rraw
+                    AS sn,
+                greatest(coalesce(len(list_distinct(tk)), 0), 1) AS sd,
+                len(list_distinct(tk)) AS nd
                 FROM b),
+            -- exact-integer score (matches the operator's basis-point
+            -- form): a double round() boundary here could flip the
+            -- quality ORDERING vs Spark and change the selected set
             q AS (SELECT doc_id, ntok,
-                round((CASE WHEN ntok BETWEEN 5 AND 100000
-                       THEN 0.4 ELSE 0.0 END)
-                    + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
-                    + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
-                    + least(sraw * 4, 1.0) * 0.2, 4) AS qs FROM c),
+                ((CASE WHEN ntok BETWEEN 5 AND 100000
+                       THEN 4000 ELSE 0 END)
+                    + (CASE WHEN pn / pd < 0.2 THEN 2000 ELSE 0 END)
+                    + (CASE WHEN 1.0 - nd / greatest(ntok, 1) < 0.9
+                       THEN 2000 ELSE 0 END)
+                    + least(2000, (coalesce(sn, 0) * 16000 + sd)
+                            // (2 * sd))) / 10000.0 AS qs FROM c),
             w AS (SELECT doc_id, SUM(ntok) OVER (
                     ORDER BY qs DESC, doc_id
                     ROWS UNBOUNDED PRECEDING) AS cum FROM q),
@@ -2548,18 +2566,21 @@ def oracle_sql() -> dict[str, str]:
             b2 AS (SELECT doc_id, text, {toks} AS tk FROM kept1),
             c2 AS (SELECT doc_id,
                 length(regexp_replace(text,
-                    '[^!-/:-@\\[-`{{-~]', '', 'g'))
-                    / greatest(length(text), 1) AS praw,
+                    '[^!-/:-@\\[-`{{-~]', '', 'g')) AS pn,
+                greatest(length(text), 1) AS pd,
                 len(list_intersect(list_distinct(tk), [{_STOPWORD_LIST}]))
-                    / greatest(len(list_distinct(tk)), 1) AS sraw,
-                1.0 - len(list_distinct(tk)) / greatest(len(tk), 1) AS rraw,
+                    AS sn,
+                greatest(coalesce(len(list_distinct(tk)), 0), 1) AS sd,
+                len(list_distinct(tk)) AS nd,
                 len(tk) AS ntok FROM b2),
             good AS (SELECT doc_id FROM c2
-                WHERE round((CASE WHEN ntok BETWEEN 5 AND 100000
-                             THEN 0.4 ELSE 0.0 END)
-                    + (CASE WHEN praw < 0.2 THEN 0.2 ELSE 0.0 END)
-                    + (CASE WHEN rraw < 0.9 THEN 0.2 ELSE 0.0 END)
-                    + least(sraw * 4, 1.0) * 0.2, 4) >= 0.6)
+                WHERE ((CASE WHEN ntok BETWEEN 5 AND 100000
+                             THEN 4000 ELSE 0 END)
+                    + (CASE WHEN pn / pd < 0.2 THEN 2000 ELSE 0 END)
+                    + (CASE WHEN 1.0 - nd / greatest(ntok, 1) < 0.9
+                       THEN 2000 ELSE 0 END)
+                    + least(2000, (coalesce(sn, 0) * 16000 + sd)
+                            // (2 * sd))) / 10000.0 >= 0.6)
             SELECT doc_id,
                    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
                     FROM good WHERE doc_id NOT IN

@@ -18,14 +18,20 @@ TOKEN_SPLIT = r"\s+"
 # BPE-ish pre-tokenizer (the GPT-2 pre-tokenization shape: contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs,
 # residual whitespace). Differences from the published GPT-2 pattern,
-# both deliberate for cross-engine identity: ASCII classes instead of
-# \p{L}/\p{N} (python `re` lacks \p), and no `\s+(?!\S)` trailing-
+# all deliberate for cross-engine identity: ASCII classes instead of
+# \p{L}/\p{N} (python `re` lacks \p); no `\s+(?!\S)` trailing-
 # whitespace lookahead (RE2 — the DuckDB oracle engine — has no
-# lookaround). Counting matches of this alternation approximates a
-# BPE tokenizer's pre-token count — the budget unit pipelines size
-# corpora in when the real tokenizer is external.
+# lookaround); and whitespace spelled as the EXPLICIT class
+# [ \t\n\x0b\f\r] instead of \s — Java and RE2 read \s as exactly
+# that ASCII set, but python `re` reads it as Unicode whitespace
+# (NBSP included), so a bare \s would silently diverge the python
+# oracle on text like « » where NBSP borders punctuation.
+# Counting matches of this alternation approximates a BPE tokenizer's
+# pre-token count — the budget unit pipelines size corpora in when
+# the real tokenizer is external.
+_WS = r" \t\n\x0b\f\r"
 BPE_SPLIT = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
-             r"| ?[^\sA-Za-z0-9]+|\s+")
+             rf"| ?[^{_WS}A-Za-z0-9]+|[{_WS}]+")
 
 
 def bpe_token_count_col(text_col: str | Column = "text") -> Column:
@@ -49,6 +55,21 @@ LANG_MARKERS = {
     "ru": ["и", "в", "не", "на", "что", "это", "как", "он", "по", "но"],
 }
 STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def _frac4(num: Column, den: Column) -> Column:
+    """Half-up 4dp rounding of the exact rational num/den (both
+    integer-valued columns), computed in INTEGER space:
+    ``floor((num*20000 + den) / (2*den)) / 10^4``. ``F.round`` on the
+    double is NOT cross-engine stable at exact boundaries: Spark
+    rounds the shortest-repr DECIMAL of the double while DuckDB and
+    python round the BINARY value, so 19/160 = 0.11875 reads .1188 vs
+    .1187 (the fuzz caught 33/160 in repetition stats first, then
+    19/160 in punct_ratio). NULL propagates (callers that want 0 for
+    NULL wrap in coalesce). The long numerator stays < 2^53, so the
+    double division before floor is exact at any real doc size."""
+    d = den.cast("long")
+    return F.floor((num.cast("long") * 20000 + d) / (d * 2)) / 10000.0
 
 
 def tokens_col(text_col: str | Column, lowercase: bool = True) -> Column:
@@ -88,14 +109,19 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.array_distinct(toks)).alias("nd"),
         # non-whitespace char count as length - count(\s chars): the
         # regexp_replace form rebuilds the string per row (same
-        # pathology as the punct ratio — see with_quality_score)
-        F.round((F.length(F.col(text_col))
-                 - F.regexp_count(F.col(text_col), F.lit(r"\s")))
-                / F.greatest(F.size(toks), F.lit(1)), 4).alias("al"),
-        F.round(F.size(F.array_distinct(toks))
-                / F.greatest(F.size(toks), F.lit(1)), 4).alias("tt"))
-    return (df.select("*", F.explode(F.array(payload)).alias("__ts"))
-            .select(*df.columns,
+        # pathology as the punct ratio — see with_quality_score);
+        # ratios round in integer space (_frac4 — cross-engine exact)
+        _frac4(F.length(F.col(text_col))
+               - F.regexp_count(F.col(text_col), F.lit(r"\s")),
+               F.greatest(F.size(toks), F.lit(1))).alias("al"),
+        _frac4(F.size(F.array_distinct(toks)),
+               F.greatest(F.size(toks), F.lit(1))).alias("tt"))
+    out_names = ("n_tokens", "n_bpe_tokens", "n_chars_calc",
+                 "n_distinct_tokens", "avg_token_len",
+                 "type_token_ratio")
+    keep = [c for c in df.columns if c not in out_names]
+    return (df.select(*keep, F.explode(F.array(payload)).alias("__ts"))
+            .select(*keep,
                     F.col("__ts.nt").alias("n_tokens"),
                     F.col("__ts.nb").alias("n_bpe_tokens"),
                     F.col("__ts.nc").alias("n_chars_calc"),
@@ -119,7 +145,9 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     field extractions reference the generated ATTRIBUTE, which
     projection collapsing cannot inline through."""
     toks = tokens_col(text_col)
-    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n = F.size(toks)
+    n_tok = F.greatest(n, F.lit(1))
+    dist_n = F.size(F.array_distinct(toks))
     # count the POSITIVE punctuation class: length(regexp_replace(
     # text, '[^punct]', '')) is the same number, but the negated class
     # matches ~98% of characters and regexp_replace rebuilds the whole
@@ -129,31 +157,43 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     # fewer matcher steps and zero result allocation
     punct = F.regexp_count(F.col(text_col),
                            F.lit(r"[!-/:-@\[-`{-~]")).cast("long")
-    stop_ratio = (F.size(F.array_intersect(
+    text_len = F.greatest(F.length(F.col(text_col)), F.lit(1))
+    stop_n = F.size(F.array_intersect(
         F.array_distinct(toks),
         F.array(*[F.lit(w) for w in STOPWORDS])))
-        / F.greatest(F.size(F.array_distinct(toks)), F.lit(1)))
-    length_ok = (F.size(toks) >= 5) & (F.size(toks) <= 100_000)
-    punct_ratio = punct / F.greatest(F.length(F.col(text_col)), F.lit(1))
-    rep_ratio = 1.0 - F.size(F.array_distinct(toks)) / n_tok.cast("double")
-    # coalesce the stopword ratio BEFORE least: F.least SKIPS null
-    # arguments, so least(NULL, 1.0) is already the non-NULL 1.0 and a
-    # coalesce wrapped AROUND it never fires — a NULL text (stop_ratio
-    # NULL) would collect the full 0.2 as "ideal stopword density"
-    # instead of scoring 0 (fuzz_text_media caught the outside-coalesce
-    # form doing exactly that)
-    score = (F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
-             + F.when(punct_ratio < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
-             + F.when(rep_ratio < 0.9, F.lit(0.2)).otherwise(F.lit(0.0))
-             + (F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 4,
-                        F.lit(1.0)) * 0.2))
+    stop_d = F.greatest(dist_n, F.lit(1))
+    length_ok = (n >= 5) & (n <= 100_000)
+    # RAW double ratios feed only the threshold flags (IEEE-identical
+    # in every engine); the OUTPUT columns round via _frac4
+    punct_ratio_raw = punct / text_len
+    rep_ratio_raw = 1.0 - dist_n / n_tok.cast("double")
+    # stopword credit in integer BASIS POINTS of the score:
+    # round4(min(4*a/b, 1) * 0.2) * 10^4 == min(2000,
+    # half-up((16000*a + b) / (2*b))) — exact, cross-engine. The
+    # coalesce keeps NULL text at 0 credit (F.least SKIPS null args,
+    # so a least-based guard never fires — the fuzz caught that form)
+    stop_bp = F.least(
+        F.lit(2000).cast("long"),
+        F.floor((F.coalesce(stop_n, F.lit(0)).cast("long") * 16000
+                 + stop_d) / (stop_d * 2)))
+    score_bp = (F.when(length_ok, F.lit(4000)).otherwise(F.lit(0))
+                + F.when(punct_ratio_raw < 0.2, F.lit(2000))
+                .otherwise(F.lit(0))
+                + F.when(rep_ratio_raw < 0.9, F.lit(2000))
+                .otherwise(F.lit(0))
+                + stop_bp)
     payload = F.struct(
-        F.round(punct_ratio, 4).alias("p"),
-        F.round(stop_ratio, 4).alias("s"),
-        F.round(rep_ratio, 4).alias("r"),
-        F.round(score, 4).alias("q"))
-    return (df.select("*", F.explode(F.array(payload)).alias("__qs"))
-            .select(*df.columns,
+        _frac4(punct, text_len).alias("p"),
+        _frac4(stop_n, stop_d).alias("s"),
+        _frac4(n - dist_n, n_tok).alias("r"),
+        (score_bp / 10000.0).alias("q"))
+    # keep withColumn's REPLACE semantics: re-applying the operator
+    # (e.g. re-scoring after scrubbing) must not duplicate the names
+    out_names = ("punct_ratio", "stopword_ratio", "repetition_ratio",
+                 "quality_score")
+    keep = [c for c in df.columns if c not in out_names]
+    return (df.select(*keep, F.explode(F.array(payload)).alias("__qs"))
+            .select(*keep,
                     F.col("__qs.p").alias("punct_ratio"),
                     F.col("__qs.s").alias("stopword_ratio"),
                     F.col("__qs.r").alias("repetition_ratio"),
@@ -297,19 +337,10 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     text_len = F.greatest(F.length(F.col(text_col)), F.lit(1))
 
     def frac(num, den):
-        # Half-up 4dp rounding of the exact rational num/den, in
-        # integer space: floor((num*20000 + den) / (2*den)) / 10^4.
-        # F.round on the double is NOT cross-engine stable at exact
-        # boundaries (Spark rounds the shortest-repr DECIMAL of the
-        # double, DuckDB/python round the BINARY value — 33/160 =
-        # 0.20625 rounds to .2063 vs .2062; the repetition fuzz caught
-        # it on trial 4). The long numerator stays < 2^53, so the
-        # double division before floor is exact at any real doc size.
-        # den is cast to long too: text_len is IntegerType and den * 2
-        # would wrap at docs past 2^30 chars (Spark strings reach ~2GB).
-        d = den.cast("long")
-        q = F.floor((num.cast("long") * 20000 + d) / (d * 2))
-        return F.coalesce(q / 10000.0, F.lit(0.0))
+        # module-level _frac4 (exact-integer half-up, cross-engine
+        # stable) with NULL coalesced to 0 — docs with no lines /
+        # paragraphs / grams score 0, not NULL
+        return F.coalesce(_frac4(num, den), F.lit(0.0))
 
     out = base
     cols = [F.col(id_col)]

@@ -342,6 +342,17 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
     row = df.agg(*aggs).first().asDict()
     if lang_col is None:
         row["n_distinct_langs"] = None
+    if row["n_docs"] == 0:
+        # degenerate report: SUM over zero rows is NULL and the KLL
+        # quantile of nothing is NaN — return explicit zeros instead
+        # of crashing the caller's int()/float() coercions
+        row.update({"total_tokens": 0, "total_bpe_tokens": 0,
+                    "n_distinct_tokens": 0, "hll_tokens_est": 0.0,
+                    "hll_within_bound": True, "kll_p50_tokens": 0.0,
+                    "kll_p90_tokens": 0.0, "kll_rank_ok": True})
+        if lang_col is not None:
+            row["n_distinct_langs"] = 0
+        return row
 
     toks = tokenize(df.select(text_col), text_col).select("token")
     row["n_distinct_tokens"] = toks.distinct().count()
@@ -358,13 +369,25 @@ def corpus_report(df: DataFrame, id_col: str = "doc_id",
                           value_based=True)
     p50, p90 = float(kll.quantile(0.5)), float(kll.quantile(0.9))
     row["kll_p50_tokens"], row["kll_p90_tokens"] = p50, p90
+    # The KLL guarantee is on the RANK INTERVAL of the returned value:
+    # rank(< v) - eps*n <= q*n <= rank(<= v) + eps*n. A two-sided
+    # bound on rank(<= v) alone is WRONG under ties: with a heavy
+    # atom at the quantile (e.g. 60% of docs at token count 0, so
+    # p50 = 0 and rank(<= 0) = 0.6), a perfectly correct sketch would
+    # read as out-of-bound.
     ranks = lens.agg(
         (F.sum(F.when(F.col("__n") <= p50, 1).otherwise(0)) / n)
-        .alias("r50"),
+        .alias("le50"),
+        (F.sum(F.when(F.col("__n") < p50, 1).otherwise(0)) / n)
+        .alias("lt50"),
         (F.sum(F.when(F.col("__n") <= p90, 1).otherwise(0)) / n)
-        .alias("r90")).first()
+        .alias("le90"),
+        (F.sum(F.when(F.col("__n") < p90, 1).otherwise(0)) / n)
+        .alias("lt90")).first()
     tol = 0.04 + 1.0 / max(n, 1)
     row["kll_rank_ok"] = bool(
-        abs(float(ranks["r50"]) - 0.5) <= tol
-        and abs(float(ranks["r90"]) - 0.9) <= tol)
+        float(ranks["le50"]) >= 0.5 - tol
+        and float(ranks["lt50"]) <= 0.5 + tol
+        and float(ranks["le90"]) >= 0.9 - tol
+        and float(ranks["lt90"]) <= 0.9 + tol)
     return row

@@ -62,10 +62,16 @@ def main() -> None:
                for c, rs in rounds.items()}
 
     # cross-level determinism: the JVM expression checksums must match
-    # between parallelism levels (scaling must not change answers)
+    # between parallelism levels (scaling must not change answers);
+    # quality_sum is a double sum — merge-order ulp noise only — so it
+    # compares with a tolerance (the integer checksums compare exact)
     lo, hi = bs.CORES
-    assert results[lo]["checksums"] == results[hi]["checksums"], \
-        (results[lo]["checksums"], results[hi]["checksums"])
+    clo, chi = results[lo]["checksums"], results[hi]["checksums"]
+    for k in clo:
+        if k == "quality_sum":
+            assert abs(float(clo[k]) - float(chi[k])) <= 0.05, (k, clo, chi)
+        else:
+            assert clo[k] == chi[k], (k, clo, chi)
 
     ratio = hi // lo
     eff = (results[hi]["docs_per_sec"]

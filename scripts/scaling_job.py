@@ -198,8 +198,18 @@ def main() -> None:
             n, sums = curation_job(spark, path)
             times.append(time.time() - t0)
         spark.stop()
-        # determinism gate: the checksums must be identical run-to-run
-        assert sums == sums0, f"curation checksums drift: {sums0} {sums}"
+        # determinism gate: integer checksums exactly; quality_sum is
+        # a SUM of ~n doubles whose merge order follows shuffle-fetch
+        # arrival, so it is only ulp-stable — compare with a tolerance
+        # instead of == (an exact compare can flap when the true sum
+        # sits within float error of a rounding boundary)
+        for k in sums:
+            if k == "quality_sum":
+                assert abs(float(sums[k]) - float(sums0[k])) <= 0.05, \
+                    f"quality_sum drift: {sums0[k]} {sums[k]}"
+            else:
+                assert sums[k] == sums0[k], \
+                    f"checksum drift {k}: {sums0[k]} {sums[k]}"
         sec = min(times)
         with open(out, "w") as f:
             json.dump({"cores": cores, "sec": round(sec, 2),

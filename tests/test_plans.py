@@ -205,3 +205,21 @@ def test_corpus_report(spark):
     rep2 = corpus_report(docs.select("doc_id", "text"), lang_col=None)
     assert rep2["n_distinct_langs"] is None
     assert rep2["n_docs"] == 5
+
+
+def test_corpus_report_empty_and_tied_median(spark):
+    from bloom_filters_spark.plans.queries import corpus_report
+    # empty corpus: explicit zeros, no crash on NULL sums / NaN quantile
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    rep = corpus_report(empty)
+    assert rep["n_docs"] == 0 and rep["total_tokens"] == 0
+    assert rep["kll_rank_ok"] and rep["hll_within_bound"]
+    # heavy atom AT the median (60% empty text -> p50 token count = 0,
+    # rank(<=0)=0.6): the rank-INTERVAL bound must accept a correct
+    # sketch (the two-sided rank(<=v) bound wrongly rejected this)
+    rows = [(i, "", "en") for i in range(60)]
+    rows += [(100 + i, f"w{i} x y z q", "en") for i in range(40)]
+    tied = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rep2 = corpus_report(tied)
+    assert rep2["kll_p50_tokens"] == 0.0
+    assert rep2["kll_rank_ok"]

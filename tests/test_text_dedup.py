@@ -856,3 +856,30 @@ def test_bpe_token_count(spark):
         assert got[i] == want, (t, got[i], want)
     # the contraction branch splits "it's" into 2 pre-tokens
     assert got[1] == len(re.findall(BPE_SPLIT, texts[1])) and got[1] == 9
+
+
+def test_quality_and_token_stats_reapply_replaces(spark):
+    # withColumn-style REPLACE semantics: re-applying the operators
+    # must not produce duplicate column names (review finding)
+    from bloom_filters_spark.operators import (with_quality_score,
+                                               with_token_stats)
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    twice_q = with_quality_score(with_quality_score(df))
+    assert twice_q.columns.count("quality_score") == 1
+    twice_t = with_token_stats(with_token_stats(df))
+    assert twice_t.columns.count("n_tokens") == 1
+    assert twice_q.select("quality_score").first()[0] is not None
+
+
+def test_bpe_count_nbsp_next_to_punct(spark):
+    # NBSP bordering punctuation: python \s is Unicode, Java/RE2 \s is
+    # ASCII — BPE_SPLIT spells the ASCII class explicitly so all three
+    # engines count identically (review finding; 3-engine probed)
+    import re
+    from bloom_filters_spark.operators.textstats import (
+        BPE_SPLIT, bpe_token_count_col)
+    t = "quote \xab\xa0\xbb and\xa0!? end"
+    df = spark.createDataFrame([(1, t)], "i long, text string")
+    got = df.select(bpe_token_count_col("text").alias("n")).first()["n"]
+    assert got == len(re.findall(BPE_SPLIT, t))
